@@ -1,0 +1,157 @@
+"""ResNet / ResNeXt / WideResNet feature nets (torchvision-compatible
+structure, NHWC, flax-NNX).
+
+Level semantics match the reference registry
+(``src/sihl/torchvision_backbone.py:42-55``): level1 is the stem relu
+output (stride 2), level2..5 are layer1..layer4 outputs (strides 4..32).
+Structure mirrors torchvision ResNet v1.5 (stride in the bottleneck 3x3) so
+pretrained torchvision weights can be ported 1:1.
+"""
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from sihl_tpu.layers.convblocks import make_conv, make_norm, _rngs
+from sihl_tpu.ops.image import max_pool2d
+
+
+class _ConvBN(nnx.Module):
+    def __init__(self, cin, cout, k, stride=1, groups=1, rngs=None):
+        self.conv = make_conv(cin, cout, k, stride=stride, groups=groups, bias=False, rngs=rngs)
+        self.bn = make_norm("batch", cout, 1, rngs)
+
+    def __call__(self, x):
+        return self.bn(self.conv(x))
+
+
+class BasicBlock(nnx.Module):
+    expansion = 1
+
+    def __init__(self, in_planes, planes, stride=1, groups=1, base_width=64, *, rngs=None):
+        assert groups == 1 and base_width == 64, "BasicBlock only supports groups=1"
+        self.conv1 = _ConvBN(in_planes, planes, 3, stride=stride, rngs=rngs)
+        self.conv2 = _ConvBN(planes, planes, 3, rngs=rngs)
+        self.downsample = (
+            _ConvBN(in_planes, planes, 1, stride=stride, rngs=rngs)
+            if (stride != 1 or in_planes != planes)
+            else None
+        )
+
+    def __call__(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        out = nnx.relu(self.conv1(x))
+        out = self.conv2(out)
+        return nnx.relu(out + identity)
+
+
+class Bottleneck(nnx.Module):
+    expansion = 4
+
+    def __init__(self, in_planes, planes, stride=1, groups=1, base_width=64, *, rngs=None):
+        width = int(planes * (base_width / 64.0)) * groups
+        out_planes = planes * self.expansion
+        self.conv1 = _ConvBN(in_planes, width, 1, rngs=rngs)
+        self.conv2 = _ConvBN(width, width, 3, stride=stride, groups=groups, rngs=rngs)
+        self.conv3 = _ConvBN(width, out_planes, 1, rngs=rngs)
+        self.downsample = (
+            _ConvBN(in_planes, out_planes, 1, stride=stride, rngs=rngs)
+            if (stride != 1 or in_planes != out_planes)
+            else None
+        )
+
+    def __call__(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        out = nnx.relu(self.conv1(x))
+        out = nnx.relu(self.conv2(out))
+        out = self.conv3(out)
+        return nnx.relu(out + identity)
+
+
+class _Stage(nnx.Module):
+    def __init__(self, block, in_planes, planes, num_blocks, stride, groups, base_width, rngs):
+        self.blocks = nnx.List([])
+        for i in range(num_blocks):
+            self.blocks.append(
+                block(
+                    in_planes if i == 0 else planes * block.expansion,
+                    planes,
+                    stride=stride if i == 0 else 1,
+                    groups=groups,
+                    base_width=base_width,
+                    rngs=rngs,
+                )
+            )
+
+    def __call__(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class _Stem(nnx.Module):
+    def __init__(self, input_channels, rngs):
+        self.conv = make_conv(input_channels, 64, 7, stride=2, padding=3, bias=False, rngs=rngs)
+        self.bn = make_norm("batch", 64, 1, rngs)
+
+    def __call__(self, x):
+        return nnx.relu(self.bn(self.conv(x)))
+
+
+class ResNetFeatures(nnx.Module):
+    """Feature-pyramid ResNet; returns levels 1..5 (strides 2..32)."""
+
+    level_modules = [["stem"], ["layer1"], ["layer2"], ["layer3"], ["layer4"]]
+
+    def __init__(
+        self,
+        block,
+        layers: List[int],
+        input_channels: int = 3,
+        groups: int = 1,
+        base_width: int = 64,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        rngs = _rngs(rngs)
+        self.stem = _Stem(input_channels, rngs)
+        planes = [64, 128, 256, 512]
+        strides = [1, 2, 2, 2]
+        in_planes = 64
+        stages = []
+        for p, n, s in zip(planes, layers, strides):
+            stages.append(_Stage(block, in_planes, p, n, s, groups, base_width, rngs))
+            in_planes = p * block.expansion
+        self.layer1, self.layer2, self.layer3, self.layer4 = stages
+        self.feature_channels = [64] + [p * block.expansion for p in planes]
+
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        c1 = self.stem(x)
+        x = max_pool2d(c1, 3, stride=2, padding=1)
+        c2 = self.layer1(x)
+        c3 = self.layer2(c2)
+        c4 = self.layer3(c3)
+        c5 = self.layer4(c4)
+        return [c1, c2, c3, c4, c5]
+
+
+RESNET_CONFIGS = {
+    "resnet18": dict(block=BasicBlock, layers=[2, 2, 2, 2]),
+    "resnet34": dict(block=BasicBlock, layers=[3, 4, 6, 3]),
+    "resnet50": dict(block=Bottleneck, layers=[3, 4, 6, 3]),
+    "resnet101": dict(block=Bottleneck, layers=[3, 4, 23, 3]),
+    "resnet152": dict(block=Bottleneck, layers=[3, 8, 36, 3]),
+    "resnext50_32x4d": dict(block=Bottleneck, layers=[3, 4, 6, 3], groups=32, base_width=4),
+    "resnext101_32x8d": dict(block=Bottleneck, layers=[3, 4, 23, 3], groups=32, base_width=8),
+    "resnext101_64x4d": dict(block=Bottleneck, layers=[3, 4, 23, 3], groups=64, base_width=4),
+    "wide_resnet50_2": dict(block=Bottleneck, layers=[3, 4, 6, 3], base_width=128),
+    "wide_resnet101_2": dict(block=Bottleneck, layers=[3, 4, 23, 3], base_width=128),
+}
+
+
+def make_resnet_features(name: str, input_channels: int = 3, *, rngs=None) -> ResNetFeatures:
+    cfg = dict(RESNET_CONFIGS[name])
+    block = cfg.pop("block")
+    layers = cfg.pop("layers")
+    return ResNetFeatures(block, layers, input_channels=input_channels, rngs=rngs, **cfg)

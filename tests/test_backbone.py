@@ -1,0 +1,77 @@
+"""Backbone pyramid-contract tests (mirrors reference
+``tests/test_torchvision_backbone.py``)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from sihl_tpu import Backbone, TimmBackbone
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_pyramid_contract(name):
+    backbone = Backbone(name, rngs=nnx.Rngs(0))
+    x = jnp.ones((1, 64, 64, 3))
+    outs = backbone(x)
+    assert len(outs) == 6  # input + levels 1..5
+    assert len(backbone.out_channels) == 6
+    assert backbone.out_channels[0] == 3
+    for level, out in enumerate(outs):
+        assert out.shape[1] == 64 // 2**level
+        assert out.shape[2] == 64 // 2**level
+        assert out.shape[3] == backbone.out_channels[level]
+
+
+def test_grayscale_input():
+    backbone = Backbone("resnet18", input_channels=1, rngs=nnx.Rngs(0))
+    outs = backbone(jnp.ones((1, 64, 64, 1)))
+    assert backbone.out_channels[0] == 1
+    assert outs[0].shape[-1] == 1
+
+
+def test_multispectral_input():
+    backbone = Backbone("resnet18", input_channels=7, rngs=nnx.Rngs(0))
+    outs = backbone(jnp.ones((1, 64, 64, 7)))
+    assert outs[1].shape == (1, 32, 32, 64)
+
+
+def test_top_level_7():
+    backbone = Backbone("resnet18", top_level=7, rngs=nnx.Rngs(0))
+    outs = backbone(jnp.ones((1, 128, 128, 3)))
+    assert len(outs) == 8
+    assert outs[7].shape == (1, 1, 1, backbone.out_channels[7])
+
+
+def test_bad_name():
+    with pytest.raises(ValueError):
+        Backbone("not_a_real_arch")
+
+
+def test_indivisible_input_asserts():
+    backbone = Backbone("resnet18", rngs=nnx.Rngs(0))
+    with pytest.raises(AssertionError):
+        backbone(jnp.ones((1, 50, 50, 3)))
+
+
+def test_timm_alias():
+    backbone = TimmBackbone("resnet18", rngs=nnx.Rngs(0))
+    outs = backbone(jnp.ones((1, 64, 64, 3)))
+    assert len(outs) == 6
+    with pytest.raises(ValueError):
+        TimmBackbone("not_a_real_arch")
+
+
+def test_frozen_levels_paths():
+    backbone = Backbone("resnet18", pretrained=False, frozen_levels=2, rngs=nnx.Rngs(0))
+    # not pretrained -> freezing is a no-op, like the reference (:158-159)
+    assert backbone.frozen_levels == 0
+
+    backbone.frozen_levels = 2  # simulate pretrained freezing
+    frozen = backbone.frozen_attr_names()
+    assert frozen == ["stem", "layer1"]
+    assert backbone.is_frozen_param(("stem", "conv", "kernel"))
+    assert not backbone.is_frozen_param(("layer4", "blocks", 0))
+
+    backbone.frozen_levels = -1
+    assert "layer4" in backbone.frozen_attr_names()
