@@ -1,0 +1,91 @@
+"""Headline benchmark: ResNet-50 + FPN object detection, fwd+bwd+optimizer,
+images/sec/chip on the attached TPU (BASELINE.json north star).
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by the target of 2x an
+A100's per-chip throughput on the same workload (the driver-specified
+goal); the A100 reference for ResNet-50+FPN detection fwd+bwd at 640px,
+16-mixed, batch 16 is taken as 200 images/sec, so baseline = 400.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_X2_TARGET = 400.0  # images/sec/chip
+
+BATCH = 16
+IMAGE_SIZE = 640
+NUM_CLASSES = 80
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import sihl_tpu
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import ObjectDetection
+    from sihl_tpu.layers import FPN
+    from sihl_tpu.training import Trainer
+
+    sihl_tpu.set_compute_dtype(jnp.bfloat16)
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet50", top_level=5, rngs=rngs)
+    neck = FPN(backbone.out_channels, 256, bottom_level=3, top_level=7, rngs=rngs)
+    head = ObjectDetection(
+        neck.out_channels, NUM_CLASSES, bottom_level=3, top_level=7,
+        max_targets=100, rngs=rngs,
+    )
+    model = SihlModel(backbone, neck, [head])
+    trainer = Trainer(
+        model,
+        optimizer="adamw",
+        optimizer_kwargs={"lr": 1e-4, "weight_decay": 1e-4, "backbone_lr_factor": 0.1},
+        grad_clip=0.1,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+    classes = np.full((BATCH, 100), -1, np.int32)
+    boxes = np.zeros((BATCH, 100, 4), np.float32)
+    for b in range(BATCH):
+        n = rng.randint(1, 20)
+        classes[b, :n] = rng.randint(0, NUM_CLASSES, n)
+        xy = rng.rand(n, 2) * (IMAGE_SIZE - 64)
+        wh = rng.rand(n, 2) * 128 + 8
+        boxes[b, :n] = np.concatenate([xy, xy + wh], axis=1)
+    targets = {"classes": jnp.asarray(classes), "boxes": jnp.asarray(boxes)}
+
+    for _ in range(WARMUP_STEPS):
+        metrics = trainer.training_step(x, targets)
+    jax.block_until_ready(metrics["trainer/loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        metrics = trainer.training_step(x, targets)
+    jax.block_until_ready(metrics["trainer/loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * MEASURE_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_fpn_detection_train_throughput",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / A100_X2_TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

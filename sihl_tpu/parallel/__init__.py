@@ -1,0 +1,67 @@
+"""Device-mesh data parallelism (SURVEY.md §5.8).
+
+The reference delegates distribution to Lightning DDP over NCCL; the
+TPU-native replacement is explicit and tiny: a ``Mesh`` with a ``data``
+axis (optionally ``model`` for tensor sharding headroom), batch arrays
+sharded over ``data``, params replicated, and ``jax.jit`` inserting the
+gradient ``psum`` over ICI automatically.  Because jit semantics are
+global-array, batch statistics (BatchNorm) are computed over the *global*
+batch — cross-replica sync-BN for free.
+
+Multi-host: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``); the mesh helpers then span all hosts'
+devices with the data axis laid out DCN-major so gradient reduction rides
+ICI within a slice.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (no-op if already initialized or single-process)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Create a ("data", "model") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    assert data * model == len(devices), (data, model, len(devices))
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array in a batch pytree along its leading axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim >= 1
+        else x,
+        batch,
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

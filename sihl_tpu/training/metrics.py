@@ -110,15 +110,20 @@ def regression_init():
     }
 
 
-def regression_update(state, preds, targets):
+def regression_update(state, preds, targets, mask=None):
     preds = preds.astype(jnp.float32).reshape(-1)
     targets = targets.astype(jnp.float32).reshape(-1)
+    w = (
+        jnp.ones_like(targets)
+        if mask is None
+        else mask.astype(jnp.float32).reshape(-1)
+    )
     return {
-        "abs_err": state["abs_err"] + jnp.sum(jnp.abs(preds - targets)),
-        "sq_err": state["sq_err"] + jnp.sum((preds - targets) ** 2),
-        "sum_y": state["sum_y"] + jnp.sum(targets),
-        "sum_y2": state["sum_y2"] + jnp.sum(targets**2),
-        "count": state["count"] + targets.shape[0],
+        "abs_err": state["abs_err"] + jnp.sum(w * jnp.abs(preds - targets)),
+        "sq_err": state["sq_err"] + jnp.sum(w * (preds - targets) ** 2),
+        "sum_y": state["sum_y"] + jnp.sum(w * targets),
+        "sum_y2": state["sum_y2"] + jnp.sum(w * targets**2),
+        "count": state["count"] + jnp.sum(w),
     }
 
 

@@ -1,0 +1,279 @@
+"""Training runtime replacing ``SihlLightningModule``
+(reference ``src/sihl/lightning_module.py``).
+
+The whole of the reference's per-step work — feature extraction, per-head
+losses, backward, optimizer, metric updates — compiles into **one** jitted
+XLA program (SURVEY.md §7): bf16-friendly compute, fp32 losses, global-
+batch BatchNorm, and data parallelism by sharding the batch over a mesh's
+``data`` axis (gradients reduce over ICI automatically because params are
+replicated and the batch is sharded).
+
+Orchestration kept host-side, mirroring the reference:
+
+* multitask = list of heads, losses summed (reference :107),
+* dict targets splat as kwargs (:95-98), tuple targets as args,
+* ``head{i}/train/...`` / ``head{i}/valid/...`` metric namespacing,
+* the ViewInvariance second-view re-encode (:92-93) via the head's
+  ``target_is_second_view`` attribute,
+* pretraining protocol (:159-177, 290-300) through the functional
+  ``pretrain_init/pretrain_step/pretrain_end`` head hooks.
+"""
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sihl_tpu.model import SihlModel
+from sihl_tpu.parallel import replicated_sharding, shard_batch
+from sihl_tpu.training.optim import label_params, make_optimizer
+
+
+def _as_args(target) -> tuple:
+    if target is None:
+        return ()
+    if isinstance(target, dict):
+        return tuple(target.values())
+    if isinstance(target, (tuple, list)):
+        return tuple(target)
+    return (target,)
+
+
+def _call_step(head, method, feats, target, state=None):
+    fn = getattr(head, method)
+    lead = () if state is None else (state,)
+    if isinstance(target, dict):
+        return fn(*lead, feats, **target)
+    return fn(*lead, feats, *_as_args(target))
+
+
+def _losses(model: SihlModel, x, targets):
+    feats = model.extract_features(x)
+    losses, metrics = [], {}
+    for idx, (head, target) in enumerate(zip(model.heads, targets)):
+        if getattr(head, "target_is_second_view", False):
+            target = model.extract_features(target)
+        loss, head_metrics = _call_step(head, "training_step", feats, target)
+        losses.append(loss)
+        metrics[f"head{idx}/train/loss"] = loss
+        for k, v in head_metrics.items():
+            metrics[f"head{idx}/train/{k}"] = v
+    return jnp.sum(jnp.stack(losses)), metrics
+
+
+@nnx.jit
+def _train_step(model: SihlModel, optimizer: nnx.Optimizer, x, targets):
+    def loss_fn(model):
+        return _losses(model, x, targets)
+
+    (loss, metrics), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+    optimizer.update(model, grads)
+    metrics["trainer/loss"] = loss
+    return metrics
+
+
+@nnx.jit
+def _eval_step(model: SihlModel, metric_states, x, targets):
+    feats = model.extract_features(x)
+    new_states, losses, auxes = [], [], []
+    for head, state, target in zip(model.heads, metric_states, targets):
+        if getattr(head, "target_is_second_view", False):
+            target = model.extract_features(target)
+        state, loss, aux = _call_step(head, "validation_step", feats, target, state=state)
+        new_states.append(state)
+        losses.append(loss)
+        auxes.append(aux)
+    return new_states, jnp.sum(jnp.stack(losses)), auxes
+
+
+@nnx.jit
+def _pretrain_step(model: SihlModel, pre_states, x, targets):
+    feats = model.extract_features(x)
+    new_states = []
+    for head, state, target in zip(model.heads, pre_states, targets):
+        if state is None or not hasattr(head, "pretrain_step"):
+            new_states.append(state)
+            continue
+        new_states.append(_call_step(head, "pretrain_step", feats, target, state=state))
+    return new_states
+
+
+@nnx.jit
+def _predict(model: SihlModel, x):
+    return model(x)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: SihlModel,
+        optimizer: str = "adam",
+        optimizer_kwargs: Optional[Dict[str, Any]] = None,
+        scheduler: Optional[str] = None,
+        scheduler_kwargs: Optional[Dict[str, Any]] = None,
+        data_config: Optional[List[Dict[str, Any]]] = None,
+        hyperparameters: Optional[Dict[str, Any]] = None,
+        grad_clip: Optional[float] = None,
+        mesh=None,
+        logger: Optional[Callable[[Dict[str, float], int], None]] = None,
+    ):
+        self.model = model
+        self.data_config = data_config or [{} for _ in model.heads]
+        if isinstance(self.data_config, dict):
+            self.data_config = [self.data_config]
+        self.hyperparameters = hyperparameters
+        self.logger = logger
+        self.mesh = mesh
+
+        backbone = model.backbone
+
+        def is_backbone(path):
+            return len(path) > 0 and str(path[0]) == "backbone"
+
+        def is_frozen(path):
+            if not is_backbone(path):
+                return False
+            # path: ('backbone', 'features', <stage>, ...)
+            if len(path) > 2 and str(path[1]) == "features":
+                return backbone.is_frozen_param(path[2:])
+            return False
+
+        params = nnx.state(model, nnx.Param)
+        labels = label_params(params, is_backbone, is_frozen)
+        self.tx, self.schedule = make_optimizer(
+            labels,
+            optimizer=optimizer,
+            optimizer_kwargs=optimizer_kwargs,
+            scheduler=scheduler,
+            scheduler_kwargs=scheduler_kwargs,
+            grad_clip=grad_clip,
+        )
+        self.optimizer = nnx.Optimizer(model, self.tx, wrt=nnx.Param)
+        self.step = 0
+
+        if mesh is not None:
+            # replicate all model/optimizer state over the mesh
+            sharding = replicated_sharding(mesh)
+            for obj in (self.model, self.optimizer):
+                state = nnx.state(obj)
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), state
+                )
+                nnx.update(obj, state)
+
+    # -- train -------------------------------------------------------------
+    def training_step(self, x, targets=None) -> Dict[str, Any]:
+        """One optimization step on a batch; returns logged metrics."""
+        if not isinstance(targets, list):
+            targets = [targets]
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+            targets = shard_batch(targets, self.mesh)
+        self.model.train()
+        self._apply_frozen_bn()
+        metrics = _train_step(self.model, self.optimizer, x, targets)
+        metrics["trainer/learning_rate"] = self.schedule(self.step)
+        self.step += 1
+        if self.logger is not None:
+            self.logger({k: float(v) for k, v in metrics.items()}, self.step)
+        return metrics
+
+    def _apply_frozen_bn(self):
+        backbone = self.model.backbone
+        if getattr(backbone, "freeze_batchnorms", False) and getattr(
+            backbone, "frozen_levels", 0
+        ):
+            backbone._set_frozen_bn_eval()
+
+    def fit(
+        self,
+        train_data,
+        num_steps: int,
+        val_data=None,
+        val_every: Optional[int] = None,
+        log_every: int = 50,
+    ) -> Dict[str, float]:
+        """Simple step-driven fit loop over an (x, targets) iterator."""
+        it = iter(train_data)
+        last_metrics = {}
+        t0 = time.perf_counter()
+        for _ in range(num_steps):
+            x, targets = next(it)
+            metrics = self.training_step(x, targets)
+            if self.step % log_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics["trainer/steps_per_sec"] = log_every / max(
+                    time.perf_counter() - t0, 1e-9
+                )
+                t0 = time.perf_counter()
+            if val_data is not None and val_every and self.step % val_every == 0:
+                last_metrics.update(self.validate(val_data))
+        return last_metrics
+
+    # -- validation ---------------------------------------------------------
+    def validate(self, val_data) -> Dict[str, float]:
+        self.model.eval()
+        states = [head.metrics_init() for head in self.model.heads]
+        collected = [[] for _ in self.model.heads]
+        for x, targets in val_data:
+            if not isinstance(targets, list):
+                targets = [targets]
+            if self.mesh is not None:
+                x = shard_batch(x, self.mesh)
+                targets = shard_batch(targets, self.mesh)
+            states, _, auxes = _eval_step(self.model, states, x, targets)
+            for idx, aux in enumerate(auxes):
+                if aux:
+                    collected[idx].append(jax.device_get(aux))
+        metrics = {}
+        for idx, (head, state) in enumerate(zip(self.model.heads, states)):
+            for k, v in head.validation_end(state, collected[idx]).items():
+                metrics[f"head{idx}/valid/{k}"] = v
+        if self.logger is not None:
+            self.logger(metrics, self.step)
+        return metrics
+
+    # -- pretraining protocol (anomaly head teacher calibration) ------------
+    def pretrain(self, data) -> None:
+        self.model.eval()
+        states = [
+            head.pretrain_init() if hasattr(head, "pretrain_init") else None
+            for head in self.model.heads
+        ]
+        if all(s is None for s in states):
+            return
+        for x, targets in data:
+            if not isinstance(targets, list):
+                targets = [targets]
+            states = _pretrain_step(self.model, states, x, targets)
+        for head, state in zip(self.model.heads, states):
+            if state is not None and hasattr(head, "pretrain_end"):
+                head.pretrain_end(state)
+
+    # -- inference -----------------------------------------------------------
+    def predict(self, x):
+        self.model.eval()
+        return _predict(self.model, x)
+
+    # -- state access (for checkpointing) ------------------------------------
+    @property
+    def params(self):
+        return nnx.state(self.model, nnx.Param)
+
+    def state_dict(self):
+        return {
+            "model": nnx.state(self.model).to_pure_dict(),
+            "opt": nnx.state(self.optimizer).to_pure_dict(),
+            "step": self.step,
+        }
+
+    def load_state_dict(self, state) -> None:
+        model_state = nnx.state(self.model)
+        model_state.replace_by_pure_dict(state["model"])
+        nnx.update(self.model, model_state)
+        opt_state = nnx.state(self.optimizer)
+        opt_state.replace_by_pure_dict(state["opt"])
+        nnx.update(self.optimizer, opt_state)
+        self.step = int(state["step"])

@@ -1,0 +1,168 @@
+"""Trainer integration tests (mirrors reference
+``tests/test_lightning_module.py``): real backbone + head, forward /
+training steps / validation / optimizer config; plus data-parallel
+training over the 8 virtual CPU devices."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from sihl_tpu import SihlModel, Backbone
+from sihl_tpu.heads import MulticlassClassification, Regression
+from sihl_tpu.parallel import make_mesh
+from sihl_tpu.training import Trainer
+
+
+def make_model(heads_fn=None, rngs=None):
+    rngs = rngs or nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    if heads_fn is None:
+        heads = [
+            MulticlassClassification(
+                backbone.out_channels, 3, num_channels=16, rngs=rngs
+            )
+        ]
+    else:
+        heads = heads_fn(backbone.out_channels, rngs)
+    return SihlModel(backbone, None, heads)
+
+
+def fake_batches(n, batch=4, num_classes=3, seed=0):
+    rng = np.random.RandomState(seed)
+    for _ in range(n):
+        x = rng.rand(batch, 32, 32, 3).astype(np.float32)
+        y = rng.randint(0, num_classes, batch)
+        yield jnp.asarray(x), jnp.asarray(y)
+
+
+def test_training_reduces_loss():
+    model = make_model()
+    trainer = Trainer(model, optimizer="adam", optimizer_kwargs={"lr": 1e-2})
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, 8))
+    losses = [float(trainer.training_step(x, y)["trainer/loss"]) for _ in range(10)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_validation_metrics():
+    model = make_model()
+    trainer = Trainer(model)
+    metrics = trainer.validate(fake_batches(2))
+    assert "head0/valid/loss" in metrics
+    assert "head0/valid/accuracy" in metrics
+    assert 0.0 <= metrics["head0/valid/accuracy"] <= 1.0
+
+
+def test_multitask():
+    def heads_fn(out_channels, rngs):
+        return [
+            MulticlassClassification(out_channels, 3, num_channels=16, rngs=rngs),
+            Regression(out_channels, 0.0, 1.0, num_channels=16, rngs=rngs),
+        ]
+
+    model = make_model(heads_fn)
+    trainer = Trainer(model)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    targets = [jnp.asarray(rng.randint(0, 3, 4)), jnp.asarray(rng.rand(4), jnp.float32)]
+    metrics = trainer.training_step(x, targets)
+    assert "head0/train/loss" in metrics and "head1/train/loss" in metrics
+
+
+def test_scheduler_and_param_groups():
+    model = make_model()
+    trainer = Trainer(
+        model,
+        optimizer="adamw",
+        optimizer_kwargs={"lr": 1e-3, "weight_decay": 1e-4, "backbone_lr_factor": 0.1},
+        scheduler="multistep",
+        scheduler_kwargs={"milestones": [10, 20], "gamma": 0.1, "warmup": 5},
+        grad_clip=0.1,
+    )
+    # warmup: lr at step 0 is 1% of base
+    assert np.isclose(float(trainer.schedule(0)), 1e-5, rtol=0.05)
+    assert np.isclose(float(trainer.schedule(5)), 1e-3, rtol=0.05)
+    assert np.isclose(float(trainer.schedule(15)), 1e-4, rtol=0.05)
+    x, y = next(fake_batches(1))
+    metrics = trainer.training_step(x, y)
+    assert np.isfinite(float(metrics["trainer/loss"]))
+
+
+def test_frozen_backbone_levels():
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    backbone.frozen_levels = 2  # simulate pretrained freezing
+    head = MulticlassClassification(backbone.out_channels, 3, num_channels=16, rngs=rngs)
+    model = SihlModel(backbone, None, [head])
+    trainer = Trainer(model, optimizer_kwargs={"lr": 1e-2})
+    stem_before = np.asarray(
+        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"].value
+    ).copy()
+    layer4_before = np.asarray(
+        trainer.params["backbone"]["features"]["layer4"]["blocks"][0]["conv1"]["conv"][
+            "kernel"
+        ].value
+    ).copy()
+    x, y = next(fake_batches(1))
+    trainer.training_step(x, y)
+    stem_after = np.asarray(
+        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"].value
+    )
+    layer4_after = np.asarray(
+        trainer.params["backbone"]["features"]["layer4"]["blocks"][0]["conv1"]["conv"][
+            "kernel"
+        ].value
+    )
+    assert np.array_equal(stem_before, stem_after), "frozen level updated"
+    assert not np.array_equal(layer4_before, layer4_after), "unfrozen level not updated"
+
+
+def test_data_parallel_training():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    mesh = make_mesh(data=8)
+    model = make_model()
+    trainer = Trainer(model, optimizer_kwargs={"lr": 1e-2}, mesh=mesh)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(16, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, 16))
+    losses = [float(trainer.training_step(x, y)["trainer/loss"]) for _ in range(5)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dp_matches_single_device():
+    """One DP step over 8 shards == one single-device step (global-batch BN)."""
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, 8))
+
+    t1 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
+    t2 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2}, mesh=mesh)
+    l1 = float(t1.training_step(x, y)["trainer/loss"])
+    l2 = float(t2.training_step(x, y)["trainer/loss"])
+    assert np.isclose(l1, l2, rtol=1e-4), (l1, l2)
+    # params stay in sync after the update
+    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sihl_tpu.training.checkpoint import save_checkpoint, restore_checkpoint
+
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2})
+    x, y = next(fake_batches(1))
+    trainer.training_step(x, y)
+    save_checkpoint(trainer, str(tmp_path / "ckpt"))
+
+    trainer2 = Trainer(make_model(rngs=nnx.Rngs(1)), optimizer_kwargs={"lr": 1e-2})
+    restore_checkpoint(trainer2, str(tmp_path / "ckpt"))
+    assert trainer2.step == trainer.step
+    p1 = trainer.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    p2 = trainer2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
