@@ -1,0 +1,254 @@
+"""EfficientAD anomaly detection head (reference
+``src/sihl/heads/anomaly_detection.py``): frozen-backbone teacher features,
+a trained student (dual output), and a conv autoencoder; anomaly =
+normalized student-teacher (local) + student-autoencoder (global)
+distances.
+
+Stateful pieces restructured for a functional TPU runtime (SURVEY.md
+hard part (d)):
+
+* the reference caches *every* training batch's activations and computes
+  calibration quantiles over all of them at validation start (:158-190);
+  here each jitted train step streams a fixed-size sample of the reduced
+  distance maps into an on-device **reservoir** (ring buffer Variables),
+  and ``on_validation_start`` computes the q0.9/q0.995 calibration
+  quantiles from the reservoir on host — same statistics, bounded memory,
+  one XLA program;
+* teacher feature statistics use the functional Welford pretraining
+  protocol (``pretrain_init/step/end``) driven by ``Trainer.pretrain``.
+"""
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sihl_tpu.heads.base import Head
+from sihl_tpu.layers.convblocks import ConvNormAct, SequentialConvBlocks, make_conv, _rngs
+from sihl_tpu.layers.scalers import SimpleDownscaler, SimpleUpscaler
+from sihl_tpu.ops.image import interpolate
+from sihl_tpu.policy import compute_dtype, param_dtype
+from sihl_tpu.training import metrics as M
+from sihl_tpu.utils import welford_compute, welford_init, welford_update
+
+
+class AnomalyDetection(Head):
+    """https://arxiv.org/abs/2303.14535 (EfficientAD)."""
+
+    def __init__(
+        self,
+        in_channels: List[int],
+        level: int = 2,
+        num_channels: int = 256,
+        num_layers: int = 1,
+        autoencoder_channels: int = 64,
+        autoencoder_top_level: int = 5,
+        reservoir_size: int = 65536,
+        samples_per_step: int = 1024,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        assert num_channels > 0 and num_layers > 0
+        assert len(in_channels) > level > 0
+        rngs = _rngs(rngs)
+        self.level = level
+        self.num_channels = num_channels
+        self.ae_channels = autoencoder_channels
+        self.p_hard = 0.999
+        self.autoencoder_top_level = autoencoder_top_level
+        self.out_channels = in_channels[level]
+        self.reservoir_size = reservoir_size
+        self.samples_per_step = samples_per_step
+
+        nc = num_channels
+        self.student_in = ConvNormAct(in_channels[0], nc, rngs=rngs)
+        self.student_down = SequentialConvBlocks(
+            nc, nc, num_layers=level, conv_block=SimpleDownscaler, rngs=rngs
+        )
+        self.student_blocks = SequentialConvBlocks(nc, nc, num_layers=num_layers, rngs=rngs)
+        self.student_out = make_conv(nc, self.out_channels * 2, 3, rngs=rngs)
+
+        ac = self.ae_channels
+        self.ae_in = ConvNormAct(in_channels[0], ac, rngs=rngs)
+        self.ae_down = SequentialConvBlocks(
+            ac, ac, num_layers=autoencoder_top_level, conv_block=SimpleDownscaler,
+            rngs=rngs,
+        )
+        size = self.ae_size = 8
+        self.ae_bottleneck_in = nnx.Linear(
+            size * size * ac, ac, dtype=compute_dtype(), param_dtype=param_dtype(),
+            rngs=rngs,
+        )
+        self.ae_bottleneck_out = nnx.Linear(
+            ac, size * size * ac, dtype=compute_dtype(), param_dtype=param_dtype(),
+            rngs=rngs,
+        )
+        self.ae_up = SequentialConvBlocks(
+            ac, ac, num_layers=autoencoder_top_level - level,
+            conv_block=SimpleUpscaler, rngs=rngs,
+        )
+        self.ae_blocks = SequentialConvBlocks(ac, ac, num_layers=num_layers, rngs=rngs)
+        self.ae_out = make_conv(ac, self.out_channels, 3, rngs=rngs)
+
+        # calibration buffers (serialized with the model state, like the
+        # reference's registered buffers :106-113)
+        self.local_thresh = nnx.Variable(jnp.asarray(0.05))
+        self.global_thresh = nnx.Variable(jnp.asarray(0.05))
+        self.features_mean = nnx.Variable(jnp.zeros((1, 1, 1, self.out_channels)))
+        self.feature_std = nnx.Variable(jnp.ones((1, 1, 1, self.out_channels)))
+        self.q_st_start = nnx.Variable(jnp.asarray(0.0))
+        self.q_st_end = nnx.Variable(jnp.asarray(0.1))
+        self.q_ae_start = nnx.Variable(jnp.asarray(0.0))
+        self.q_ae_end = nnx.Variable(jnp.asarray(0.1))
+
+        # streaming distance reservoirs for quantile calibration
+        self.st_reservoir = nnx.Variable(jnp.zeros((reservoir_size,)))
+        self.stae_reservoir = nnx.Variable(jnp.zeros((reservoir_size,)))
+        self.reservoir_pos = nnx.Variable(jnp.zeros((), jnp.int32))
+        self.reservoir_filled = nnx.Variable(jnp.zeros((), jnp.int32))
+
+        self.output_shapes = {
+            "anomaly_maps": ("batch_size", "height", "width")
+        }
+
+    # -- submodels ---------------------------------------------------------
+    def _student(self, image):
+        x = self.student_blocks(self.student_down(self.student_in(image)))
+        return self.student_out(x)
+
+    def _autoencoder(self, image):
+        x = self.ae_down(self.ae_in(image))
+        b, h, w, c = x.shape
+        z = interpolate(x, size=(self.ae_size, self.ae_size), mode="bilinear")
+        z = self.ae_bottleneck_out(self.ae_bottleneck_in(z.reshape(b, -1)))
+        z = z.reshape(b, self.ae_size, self.ae_size, c)
+        z = interpolate(z, size=(h, w), mode="bilinear")
+        return self.ae_out(self.ae_blocks(self.ae_up(z)))
+
+    def compute_distances(self, inputs):
+        teacher_out = (
+            inputs[self.level].astype(jnp.float32) - self.features_mean[...]
+        ) / self.feature_std[...]
+        student_out = self._student(inputs[0]).astype(jnp.float32)
+        autoencoder_out = self._autoencoder(inputs[0]).astype(jnp.float32)
+
+        c = self.out_channels
+        distance_ae = (autoencoder_out - teacher_out) ** 2
+        distance_st = (teacher_out - student_out[..., :c]) ** 2
+        distance_stae = (autoencoder_out - student_out[..., c:]) ** 2
+        return distance_st, distance_ae, distance_stae
+
+    # -- inference ---------------------------------------------------------
+    def __call__(self, inputs) -> jnp.ndarray:
+        distance_st, _, distance_stae = self.compute_distances(inputs)
+        local = jnp.mean(distance_st, axis=-1)  # (B, h, w)
+        local = self.local_thresh[...] * (
+            (local - self.q_st_start[...])
+            / (self.q_st_end[...] - self.q_st_start[...])
+        )
+        global_ = jnp.mean(distance_stae, axis=-1)
+        global_ = self.global_thresh[...] * (
+            (global_ - self.q_ae_start[...])
+            / (self.q_ae_end[...] - self.q_ae_start[...])
+        )
+        anomaly = jnp.clip(nnx.relu(local) + nnx.relu(global_), 0.0, 1.0)
+        full = inputs[0].shape[1:3]
+        return interpolate(anomaly[..., None], size=full)[..., 0]
+
+    # -- training ----------------------------------------------------------
+    def _update_reservoir(self, distance_st, distance_stae):
+        """Stream an even subsample of the reduced distance maps into the
+        ring buffers (jit-safe fixed shapes, gradients stopped)."""
+        k = self.samples_per_step
+        st = jax.lax.stop_gradient(jnp.mean(distance_st, axis=-1).reshape(-1))
+        stae = jax.lax.stop_gradient(jnp.mean(distance_stae, axis=-1).reshape(-1))
+        n = st.shape[0]
+        stride = max(n // k, 1)
+        idx = (jnp.arange(k) * stride) % n
+        pos = (self.reservoir_pos[...] + jnp.arange(k)) % self.reservoir_size
+        self.st_reservoir[...] = self.st_reservoir[...].at[pos].set(st[idx])
+        self.stae_reservoir[...] = self.stae_reservoir[...].at[pos].set(stae[idx])
+        self.reservoir_pos[...] = (self.reservoir_pos[...] + k) % self.reservoir_size
+        self.reservoir_filled[...] = jnp.minimum(
+            self.reservoir_filled[...] + k, self.reservoir_size
+        )
+
+    def training_step(self, inputs, targets=None, is_validating=False):
+        distance_st, distance_ae, distance_stae = self.compute_distances(inputs)
+        if not is_validating:
+            self._update_reservoir(distance_st, distance_stae)
+
+        # hard-mined student-teacher loss at the p=0.999 quantile (:162-164)
+        b = distance_st.shape[0]
+        flat = distance_st.reshape(b, -1)
+        q = jnp.quantile(flat, self.p_hard, axis=1)  # (B,)
+        hard = flat >= q[:, None]
+        loss_st = jnp.sum(jnp.where(hard, flat, 0.0)) / jnp.maximum(jnp.sum(hard), 1)
+        loss_ae = jnp.mean(distance_ae)
+        loss_stae = jnp.mean(distance_stae)
+        return loss_st + loss_ae + loss_stae, {
+            "loss_student_teacher": loss_st,
+            "loss_autoencoder_teacher": loss_ae,
+            "loss_student_autoencoder": loss_stae,
+        }
+
+    # -- validation --------------------------------------------------------
+    def on_validation_start(self) -> None:
+        """Calibrate normalization quantiles from the streamed reservoir
+        (host-side, called by the Trainer before the jitted val loop)."""
+        filled = int(self.reservoir_filled[...])
+        if filled == 0:
+            return
+        st = np.asarray(self.st_reservoir[...])[:filled]
+        stae = np.asarray(self.stae_reservoir[...])[:filled]
+        self.q_st_start[...] = jnp.asarray(np.quantile(st, 0.9), jnp.float32)
+        self.q_st_end[...] = jnp.asarray(np.quantile(st, 0.995), jnp.float32)
+        self.q_ae_start[...] = jnp.asarray(np.quantile(stae, 0.9), jnp.float32)
+        self.q_ae_end[...] = jnp.asarray(np.quantile(stae, 0.995), jnp.float32)
+
+    def metrics_init(self):
+        return {
+            "loss": M.mean_init(),
+            "iou": M.segmentation_init(2),
+            "acc": M.binary_stats_init(),
+        }
+
+    def validation_step(self, state, inputs, targets=None):
+        loss, _ = self.training_step(inputs, is_validating=True)
+        new_state = dict(state)
+        new_state["loss"] = M.mean_update(state["loss"], loss)
+        if targets is not None:
+            pred = self(inputs)
+            pred_bin = (pred > 0.5).astype(jnp.int32)
+            tgt_bin = (targets > 0).astype(jnp.int32)
+            new_state["iou"] = M.segmentation_update(state["iou"], pred_bin, tgt_bin)
+            new_state["acc"] = M.binary_stats_update(
+                state["acc"],
+                jnp.any(pred > 0.5, axis=(1, 2)),
+                jnp.any(targets > 0, axis=(1, 2)),
+            )
+        return new_state, loss, {}
+
+    def validation_end(self, state, collected=()) -> Dict[str, float]:
+        seg = M.segmentation_compute(state["iou"])
+        acc = M.binary_stats_compute(state["acc"])
+        return {
+            "loss": float(M.mean_compute(state["loss"])),
+            "mean_iou": float(seg["mean_iou"]),
+            "accuracy": float(acc["accuracy"]),
+        }
+
+    # -- pretraining (teacher feature statistics, reference :217-229) ------
+    def pretrain_init(self):
+        return welford_init((self.out_channels,))
+
+    def pretrain_step(self, state, inputs, targets=None):
+        feats = inputs[self.level].astype(jnp.float32).reshape(-1, self.out_channels)
+        return welford_update(state, feats)
+
+    def pretrain_end(self, state) -> None:
+        mean, var = welford_compute(state)
+        self.features_mean[...] = mean.reshape(1, 1, 1, -1)
+        self.feature_std[...] = jnp.sqrt(var).reshape(1, 1, 1, -1)

@@ -215,6 +215,11 @@ class Trainer:
     # -- validation ---------------------------------------------------------
     def validate(self, val_data) -> Dict[str, float]:
         self.model.eval()
+        for head in self.model.heads:
+            # host-side calibration hook (e.g. anomaly quantiles), mirroring
+            # the reference's on_validation_start (lightning_module.py:247-251)
+            if hasattr(head, "on_validation_start"):
+                head.on_validation_start()
         states = [head.metrics_init() for head in self.model.heads]
         collected = [[] for _ in self.model.heads]
         for x, targets in val_data:

@@ -23,6 +23,24 @@ AREA_RANGES = {
 }
 
 
+def _mask_iou(m1: np.ndarray, m2: np.ndarray) -> np.ndarray:
+    """Pairwise IoU between binary mask sets (N, H, W) x (M, H, W)."""
+    if m1.shape[0] == 0 or m2.shape[0] == 0:
+        return np.zeros((m1.shape[0], m2.shape[0]), np.float32)
+    a = m1.reshape(m1.shape[0], -1).astype(np.float32)
+    b = m2.reshape(m2.shape[0], -1).astype(np.float32)
+    inter = a @ b.T
+    union = a.sum(1)[:, None] + b.sum(1)[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def _nearest_resize_masks(masks: np.ndarray, size) -> np.ndarray:
+    h, w = masks.shape[2:]
+    ys = (np.arange(size[0]) * (h / size[0])).astype(np.int64)
+    xs = (np.arange(size[1]) * (w / size[1])).astype(np.int64)
+    return masks[:, :, ys][:, :, :, xs]
+
+
 def _box_iou(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
     area1 = np.clip(b1[:, 2] - b1[:, 0], 0, None) * np.clip(b1[:, 3] - b1[:, 1], 0, None)
     area2 = np.clip(b2[:, 2] - b2[:, 0], 0, None) * np.clip(b2[:, 3] - b2[:, 1], 0, None)
@@ -42,27 +60,45 @@ class MeanAveragePrecisionAccumulator:
     ``max_instances``).
     """
 
-    def __init__(self, max_dets=(1, 10, 100)):
+    def __init__(self, max_dets=(1, 10, 100), iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
         self.max_dets = max_dets
+        self.iou_type = iou_type
         self._images: List[dict] = []
 
-    def update(self, pred_boxes, pred_classes, scores, gt_boxes, gt_classes) -> None:
-        pred_boxes = np.asarray(pred_boxes, np.float32)
+    def update(self, pred_geoms, pred_classes, scores, gt_geoms, gt_classes) -> None:
+        """``pred_geoms``/``gt_geoms``: boxes (B, N, 4) for iou_type="bbox",
+        binary masks (B, N, H, W) for iou_type="segm"."""
+        pred_geoms = np.asarray(pred_geoms)
         pred_classes = np.asarray(pred_classes)
         scores = np.asarray(scores, np.float32)
-        gt_boxes = np.asarray(gt_boxes, np.float32)
+        gt_geoms = np.asarray(gt_geoms)
         gt_classes = np.asarray(gt_classes)
-        for b in range(pred_boxes.shape[0]):
+        if self.iou_type == "segm" and pred_geoms.shape[2:] != gt_geoms.shape[2:]:
+            pred_geoms = _nearest_resize_masks(pred_geoms, gt_geoms.shape[2:])
+        for b in range(pred_geoms.shape[0]):
             valid_gt = gt_classes[b] >= 0
             self._images.append(
                 {
-                    "pred_boxes": pred_boxes[b],
+                    "pred_geoms": pred_geoms[b],
                     "pred_classes": pred_classes[b],
                     "scores": scores[b],
-                    "gt_boxes": gt_boxes[b][valid_gt],
+                    "gt_geoms": gt_geoms[b][valid_gt],
                     "gt_classes": gt_classes[b][valid_gt],
                 }
             )
+
+    def _iou(self, d, g) -> np.ndarray:
+        if self.iou_type == "bbox":
+            return _box_iou(d.astype(np.float32), g.astype(np.float32))
+        return _mask_iou(d, g)
+
+    def _areas(self, geoms) -> np.ndarray:
+        if self.iou_type == "bbox":
+            return (geoms[:, 2] - geoms[:, 0]) * (geoms[:, 3] - geoms[:, 1])
+        if geoms.shape[0] == 0:
+            return np.zeros((0,), np.float32)
+        return geoms.reshape(geoms.shape[0], -1).astype(np.float32).sum(axis=1)
 
     # -- evaluation --------------------------------------------------------
     def compute(self) -> Dict[str, float]:
@@ -121,14 +157,12 @@ class MeanAveragePrecisionAccumulator:
         for i, img in enumerate(self._images):
             g = gts_per_img[i]
             d = [j for (_, ii, j) in dets if ii == i]
-            gb = img["gt_boxes"][g]
-            db = img["pred_boxes"][d]
-            ious[i] = (_box_iou(db, gb), {j: k for k, j in enumerate(d)})
-            gt_areas[i] = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
-            det_areas[i] = {
-                j: (db[k, 2] - db[k, 0]) * (db[k, 3] - db[k, 1])
-                for k, j in enumerate(d)
-            }
+            gb = img["gt_geoms"][g]
+            db = img["pred_geoms"][list(d)]
+            ious[i] = (self._iou(db, gb), {j: k for k, j in enumerate(d)})
+            gt_areas[i] = self._areas(gb)
+            da = self._areas(db)
+            det_areas[i] = {j: da[k] for k, j in enumerate(d)}
 
         per_area_ap = {}
         recalls = {m: None for m in self.max_dets}
