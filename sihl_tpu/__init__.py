@@ -17,7 +17,7 @@ input image (NHWC) and ``features[l]`` has spatial stride ``2**l``.
 
 from sihl_tpu.policy import set_compute_dtype, compute_dtype
 from sihl_tpu.model import SihlModel
-from sihl_tpu.backbones import Backbone, TorchvisionBackbone, TimmBackbone
+from sihl_tpu.backbones import Backbone, TorchvisionBackbone, TimmBackbone, backbone_names
 
 __version__ = "0.1.0"
 
@@ -26,6 +26,7 @@ __all__ = [
     "Backbone",
     "TorchvisionBackbone",
     "TimmBackbone",
+    "backbone_names",
     "set_compute_dtype",
     "compute_dtype",
 ]

@@ -70,8 +70,12 @@ class PyramidBackbone(nnx.Module):
             self._set_frozen_bn_eval()
 
     # -- freezing ---------------------------------------------------------
-    def frozen_attr_names(self) -> List[str]:
-        """Feature-net attribute names whose params must not be updated."""
+    def frozen_attr_names(self) -> List:
+        """Feature-net module paths whose params must not be updated.
+
+        Entries are attribute names (``"stem"``) or ``(attr, index)`` pairs
+        addressing one element of a module list (``("stages", 2)``).
+        """
         mods = self.features.level_modules
         if self.frozen_levels < 0:
             frozen = [name for level in mods for name in level]
@@ -82,12 +86,31 @@ class PyramidBackbone(nnx.Module):
 
     def is_frozen_param(self, feature_path) -> bool:
         """Whether a param path (relative to ``features``) is frozen."""
-        frozen = set(self.frozen_attr_names())
-        return len(feature_path) > 0 and str(feature_path[0]) in frozen
+        if len(feature_path) == 0:
+            return False
+        head = str(feature_path[0])
+        pair = (
+            (head, int(feature_path[1]))
+            if len(feature_path) > 1 and str(feature_path[1]).isdigit()
+            else None
+        )
+        for entry in self.frozen_attr_names():
+            if isinstance(entry, tuple):
+                if pair is not None and (str(entry[0]), int(entry[1])) == pair:
+                    return True
+            elif head == str(entry):
+                return True
+        return False
+
+    def _frozen_modules(self):
+        for entry in self.frozen_attr_names():
+            if isinstance(entry, tuple):
+                yield getattr(self.features, entry[0])[entry[1]]
+            else:
+                yield getattr(self.features, entry)
 
     def _set_frozen_bn_eval(self) -> None:
-        for attr_name in self.frozen_attr_names():
-            module = getattr(self.features, attr_name)
+        for module in self._frozen_modules():
             for _, sub in nnx.iter_graph(module):
                 if isinstance(sub, nnx.BatchNorm):
                     sub.use_running_average = True

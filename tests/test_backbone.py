@@ -9,7 +9,21 @@ from flax import nnx
 from sihl_tpu import Backbone, TimmBackbone
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "resnet18",
+        "resnet50",
+        "resnext50_32x4d",
+        "wide_resnet50_2",
+        "efficientnet_b0",
+        "efficientnet_v2_s",
+        "mobilenet_v2",
+        "mobilenet_v3_large",
+        "mobilenet_v3_small",
+        "convnext_tiny",
+    ],
+)
 def test_pyramid_contract(name):
     backbone = Backbone(name, rngs=nnx.Rngs(0))
     x = jnp.ones((1, 64, 64, 3))
