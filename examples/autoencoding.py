@@ -1,0 +1,20 @@
+"""Autoencoding example (reference ``examples/autoencoding.py``:
+Stanford Cars)."""
+
+from common import parse_args, run, synthetic_images
+from sihl_tpu import SihlModel
+from sihl_tpu.heads import Autoencoding
+
+
+def model_fn(backbone, rngs):
+    head = Autoencoding(backbone.out_channels, rngs=rngs)
+    return SihlModel(backbone, None, [head]), {}
+
+
+def data_fn(args):
+    for x in synthetic_images(args):
+        yield x, x  # target = input
+
+
+if __name__ == "__main__":
+    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])

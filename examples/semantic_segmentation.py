@@ -1,0 +1,30 @@
+"""Semantic segmentation example (reference
+``examples/semantic_segmentation.py``: COCO stuff)."""
+
+import numpy as np
+
+from common import parse_args, run, synthetic_images
+from sihl_tpu import SihlModel
+from sihl_tpu.heads import SemanticSegmentation
+from sihl_tpu.layers import FPN
+
+NUM_CLASSES = 8
+
+
+def model_fn(backbone, rngs):
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = SemanticSegmentation(
+        neck.out_channels, NUM_CLASSES, ignore_index=255, rngs=rngs
+    )
+    return SihlModel(backbone, neck, [head]), {}
+
+
+def data_fn(args):
+    rng = np.random.RandomState(0)
+    s = args.image_size
+    for x in synthetic_images(args):
+        yield x, rng.randint(0, NUM_CLASSES, (args.batch_size, s, s))
+
+
+if __name__ == "__main__":
+    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])

@@ -166,7 +166,8 @@ class KeypointDetection(Head):
         batch, full_h, full_w = inputs[0].shape[0], inputs[0].shape[1], inputs[0].shape[2]
         flat_feats = self.flat_features(inputs)
         loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
-        loc_logits, loc_idxs = jax.lax.top_k(loc_logits, self.max_instances)
+        num_slots = min(self.max_instances, loc_logits.shape[1])
+        loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
         flat_feats = jnp.take_along_axis(flat_feats, loc_idxs[..., None], axis=1)

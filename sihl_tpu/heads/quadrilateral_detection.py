@@ -169,7 +169,8 @@ class QuadrilateralDetection(Head):
         rel_offsets, levels = self.get_offsets_and_levels(inputs)
 
         loc_logits = self.loc_head(feats)[..., 0].astype(jnp.float32)
-        loc_logits, loc_idxs = jax.lax.top_k(loc_logits, self.max_instances)
+        num_slots = min(self.max_instances, loc_logits.shape[1])
+        loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
         feats = jnp.take_along_axis(feats, loc_idxs[..., None], axis=1)
@@ -177,7 +178,7 @@ class QuadrilateralDetection(Head):
         offsets = rel_offsets[loc_idxs]  # (B, I, 8)
         quad_preds = jnp.tanh(self.quad_head(feats).astype(jnp.float32)) + offsets
         full = jnp.array([full_w, full_h] * 4, jnp.float32)
-        quad_preds = (quad_preds * full).reshape(batch, self.max_instances, 4, 2)
+        quad_preds = (quad_preds * full).reshape(batch, num_slots, 4, 2)
 
         classes = jnp.argmax(self.class_head(feats), axis=2)
         return num_instances, scores, classes, quad_preds

@@ -56,7 +56,8 @@ def cross_entropy(
     )
     safe_targets = jnp.where(valid, targets, 0)
     one_hot = jax.nn.one_hot(safe_targets, num_classes, axis=axis, dtype=jnp.float32)
-    if label_smoothing > 0.0:
+    static_zero = isinstance(label_smoothing, (int, float)) and label_smoothing == 0.0
+    if not static_zero:  # works for traced (schedule-driven) smoothing too
         one_hot = one_hot * (1.0 - label_smoothing) + label_smoothing / num_classes
     loss = -jnp.sum(one_hot * log_probs, axis=axis)
     return jnp.where(valid, loss, 0.0)

@@ -54,7 +54,8 @@ def _losses(model: SihlModel, x, targets):
     losses, metrics = [], {}
     for idx, (head, target) in enumerate(zip(model.heads, targets)):
         if getattr(head, "target_is_second_view", False):
-            target = model.extract_features(target)
+            # the second view's pyramid is ONE argument, not a splat
+            target = (model.extract_features(target),)
         loss, head_metrics = _call_step(head, "training_step", feats, target)
         losses.append(loss)
         metrics[f"head{idx}/train/loss"] = loss
@@ -80,7 +81,7 @@ def _eval_step(model: SihlModel, metric_states, x, targets):
     new_states, losses, auxes = [], [], []
     for head, state, target in zip(model.heads, metric_states, targets):
         if getattr(head, "target_is_second_view", False):
-            target = model.extract_features(target)
+            target = (model.extract_features(target),)
         state, loss, aux = _call_step(head, "validation_step", feats, target, state=state)
         new_states.append(state)
         losses.append(loss)
