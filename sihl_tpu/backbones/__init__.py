@@ -54,6 +54,30 @@ def _register_lazy_factories():
             _FEATURE_FACTORIES[name] = make_convnext_features
     except ImportError:
         pass
+    try:
+        from sihl_tpu.backbones.densenet import DENSENET_CONFIGS, make_densenet_features
+
+        for name in DENSENET_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_densenet_features
+    except ImportError:
+        pass
+    try:
+        from sihl_tpu.backbones.shufflenet import (
+            SHUFFLENET_CONFIGS,
+            make_shufflenet_features,
+        )
+
+        for name in SHUFFLENET_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_shufflenet_features
+    except ImportError:
+        pass
+    try:
+        from sihl_tpu.backbones.mnasnet import MNASNET_CONFIGS, make_mnasnet_features
+
+        for name in MNASNET_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_mnasnet_features
+    except ImportError:
+        pass
 
 
 _register_lazy_factories()
@@ -123,6 +147,14 @@ _TIMM_ALIASES = {
     "convnext_small": "convnext_small",
     "convnext_base": "convnext_base",
     "convnext_large": "convnext_large",
+    "densenet121": "densenet121",
+    "densenet161": "densenet161",
+    "densenet169": "densenet169",
+    "mnasnet_100": "mnasnet1_0",
+    "mnasnet_050": "mnasnet0_5",
+    "efficientnetv2_s": "efficientnet_v2_s",
+    "efficientnetv2_m": "efficientnet_v2_m",
+    "efficientnetv2_l": "efficientnet_v2_l",
 }
 
 

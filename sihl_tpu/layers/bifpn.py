@@ -12,6 +12,7 @@ from flax import nnx
 from sihl_tpu.layers.convblocks import ConvNormAct, _rngs
 from sihl_tpu.layers.scalers import AntialiasedDownscaler
 from sihl_tpu.ops.image import upsample2x_nearest
+from sihl_tpu.ops.pallas.fusion import fused_weighted_sum
 from sihl_tpu.policy import param_dtype
 
 
@@ -20,12 +21,8 @@ class FastNormalizedFusion(nnx.Module):
         self.weights = nnx.Param(jnp.ones((num_inputs,), param_dtype()))
 
     def __call__(self, inputs: List[jnp.ndarray]) -> jnp.ndarray:
-        weights = nnx.softmax(self.weights.value.astype(jnp.float32), axis=0)
-        weights = weights.astype(inputs[0].dtype)
-        out = weights[0] * inputs[0]
-        for w, x in zip(weights[1:], inputs[1:]):
-            out = out + w * x
-        return out
+        weights = nnx.softmax(self.weights[...].astype(jnp.float32), axis=0)
+        return fused_weighted_sum(weights, inputs)
 
 
 class BiFPNLayer(nnx.Module):

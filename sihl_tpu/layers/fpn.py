@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
-from sihl_tpu.ops.image import upsample2x_nearest
+from sihl_tpu.ops.pallas.fusion import fused_upsample_add
 
 
 class FPN(nnx.Module):
@@ -58,7 +58,7 @@ class FPN(nnx.Module):
         top_down = [xs[-1]]
         for i, conv in enumerate(self.up_convs):
             top_down[i] = conv(top_down[i])
-            top_down.append(upsample2x_nearest(top_down[i]) + xs[-(i + 2)])
+            top_down.append(fused_upsample_add(top_down[i], xs[-(i + 2)]))
 
         top_down = top_down[::-1]
         for down in self.extra_downscalers:

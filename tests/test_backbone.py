@@ -22,6 +22,9 @@ from sihl_tpu import Backbone, TimmBackbone
         "mobilenet_v3_large",
         "mobilenet_v3_small",
         "convnext_tiny",
+        "densenet121",
+        "shufflenet_v2_x1_0",
+        "mnasnet1_0",
     ],
 )
 def test_pyramid_contract(name):
