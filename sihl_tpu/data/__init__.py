@@ -16,6 +16,11 @@ import jax
 import numpy as np
 
 from sihl_tpu.utils import random_pad  # noqa: F401  (re-export)
+from sihl_tpu.data.native import (  # noqa: F401
+    batch_resize_normalize,
+    native_available,
+    native_pad_labels,
+)
 
 
 # -- target padding ---------------------------------------------------------

@@ -25,6 +25,8 @@ from sihl_tpu.ops import (  # noqa: F401  (public API parity re-exports)
     tversky_loss,
 )
 from sihl_tpu.utils.polygon_iou import polygon_iou  # noqa: F401
+from sihl_tpu.utils.pck import PercentageOfCorrectKeypoints  # noqa: F401
+from sihl_tpu.utils.f1 import OptimalF1Threshold  # noqa: F401
 
 EPS = 1e-5
 
