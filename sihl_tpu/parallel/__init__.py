@@ -65,3 +65,24 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ``data`` AND image rows over ``model`` — spatial
+    partitioning of large feature maps (the vision analog of sequence
+    parallelism, SURVEY.md §5.7).  Under jit's global-array semantics XLA
+    inserts conv halo exchanges automatically."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def shard_batch_spatial(batch, mesh: Mesh):
+    """Shard image arrays (B, H, W, C) over (data, model); other arrays
+    over data only."""
+    img = spatial_sharding(mesh)
+    other = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, img if getattr(x, "ndim", 0) == 4 else other)
+        if hasattr(x, "ndim") and x.ndim >= 1
+        else x,
+        batch,
+    )

@@ -27,8 +27,13 @@ import jax.numpy as jnp
 from flax import nnx
 
 from sihl_tpu.model import SihlModel
-from sihl_tpu.parallel import replicated_sharding, shard_batch
+from sihl_tpu.parallel import replicated_sharding, shard_batch, shard_batch_spatial
 from sihl_tpu.training.optim import label_params, make_optimizer
+
+
+@jax.jit
+def _ema_update(ema, params, decay):
+    return jax.tree_util.tree_map(lambda e, p: e * decay + p * (1 - decay), ema, params)
 
 
 def _as_args(target) -> tuple:
@@ -118,6 +123,8 @@ class Trainer:
         hyperparameters: Optional[Dict[str, Any]] = None,
         grad_clip: Optional[float] = None,
         mesh=None,
+        spatial_partition: bool = False,
+        ema_decay: Optional[float] = None,
         logger: Optional[Callable[[Dict[str, float], int], None]] = None,
     ):
         self.model = model
@@ -127,6 +134,13 @@ class Trainer:
         self.hyperparameters = hyperparameters
         self.logger = logger
         self.mesh = mesh
+        self.spatial_partition = spatial_partition
+        self.ema_decay = ema_decay
+        self.ema_params = (
+            jax.tree_util.tree_map(jnp.copy, nnx.state(model, nnx.Param))
+            if ema_decay
+            else None
+        )
 
         backbone = model.backbone
 
@@ -170,11 +184,16 @@ class Trainer:
         if not isinstance(targets, list):
             targets = [targets]
         if self.mesh is not None:
-            x = shard_batch(x, self.mesh)
-            targets = shard_batch(targets, self.mesh)
+            sharder = shard_batch_spatial if self.spatial_partition else shard_batch
+            x = sharder(x, self.mesh)
+            targets = sharder(targets, self.mesh)
         self.model.train()
         self._apply_frozen_bn()
         metrics = _train_step(self.model, self.optimizer, x, targets)
+        if self.ema_params is not None:
+            self.ema_params = _ema_update(
+                self.ema_params, nnx.state(self.model, nnx.Param), self.ema_decay
+            )
         metrics["trainer/learning_rate"] = self.schedule(self.step)
         self.step += 1
         if self.logger is not None:
@@ -257,6 +276,14 @@ class Trainer:
         for head, state in zip(self.model.heads, states):
             if state is not None and hasattr(head, "pretrain_end"):
                 head.pretrain_end(state)
+
+    def use_ema_params(self) -> None:
+        """Copy the EMA shadow into the live model (e.g. before export).
+
+        The reference lists EMA as an open TODO (lightning_module.py:17);
+        here it's a first-class option (``ema_decay``)."""
+        assert self.ema_params is not None
+        nnx.update(self.model, self.ema_params)
 
     # -- inference -----------------------------------------------------------
     def predict(self, x):

@@ -166,3 +166,46 @@ def test_checkpoint_roundtrip(tmp_path):
     p1 = trainer.params["heads"][0]["readout"]["out_conv"]["kernel"].value
     p2 = trainer2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_ema():
+    model = make_model()
+    trainer = Trainer(model, optimizer_kwargs={"lr": 1e-2}, ema_decay=0.9)
+    x, y = next(fake_batches(1))
+    p0 = np.asarray(
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    ).copy()
+    for _ in range(3):
+        trainer.training_step(x, y)
+    live = np.asarray(
+        nnx.state(trainer.model, nnx.Param)["heads"][0]["readout"]["out_conv"][
+            "kernel"
+        ].value
+    )
+    ema = np.asarray(
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    )
+    # ema lags the live params but has moved from init
+    assert not np.allclose(ema, live)
+    assert not np.allclose(ema, p0)
+    trainer.use_ema_params()
+    now = np.asarray(
+        nnx.state(trainer.model, nnx.Param)["heads"][0]["readout"]["out_conv"][
+            "kernel"
+        ].value
+    )
+    np.testing.assert_allclose(now, ema)
+
+
+def test_spatial_partition_training():
+    mesh = make_mesh(data=4, model=2)
+    model = make_model()
+    trainer = Trainer(
+        model, optimizer_kwargs={"lr": 1e-2}, mesh=mesh, spatial_partition=True
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, 8))
+    losses = [float(trainer.training_step(x, y)["trainer/loss"]) for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
