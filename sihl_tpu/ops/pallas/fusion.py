@@ -17,6 +17,7 @@ in interpreter mode).
 """
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -31,9 +32,13 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _kernels_enabled() -> bool:
+    return os.environ.get("SIHL_TPU_PALLAS", "0") == "1"
+
+
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        return _kernels_enabled() and jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover
         return False
 
@@ -66,6 +71,30 @@ def _upsample_add_pallas(top: jnp.ndarray, lateral: jnp.ndarray, interpret: bool
     )(top, lateral)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _upsample_add(top, lateral, use_kernel: bool, interpret: bool):
+    if use_kernel:
+        return _upsample_add_pallas(top, lateral.astype(top.dtype), interpret)
+    b, h, w, c = top.shape
+    wide = jnp.broadcast_to(
+        top[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, 2 * h, 2 * w, c)
+    return wide + lateral
+
+
+def _upsample_add_fwd(top, lateral, use_kernel, interpret):
+    return _upsample_add(top, lateral, use_kernel, interpret), None
+
+
+def _upsample_add_bwd(use_kernel, interpret, _, g):
+    b, h2, w2, c = g.shape
+    d_top = jnp.sum(g.reshape(b, h2 // 2, 2, w2 // 2, 2, c), axis=(2, 4))
+    return d_top.astype(g.dtype), g
+
+
+_upsample_add.defvjp(_upsample_add_fwd, _upsample_add_bwd)
+
+
 def fused_upsample_add(
     top: jnp.ndarray,
     lateral: jnp.ndarray,
@@ -74,38 +103,35 @@ def fused_upsample_add(
 ) -> jnp.ndarray:
     """``upsample2x_nearest(top) + lateral`` in one fused pass.
 
-    top: (B, h, w, C); lateral: (B, 2h, 2w, C).
+    top: (B, h, w, C); lateral: (B, 2h, 2w, C).  Differentiable via a
+    custom VJP (the backward reduces the cotangent over 2x2 blocks).
     """
     b, h, w, c = top.shape
     assert lateral.shape == (b, 2 * h, 2 * w, c), (top.shape, lateral.shape)
     eligible = _HAS_PLTPU and c % 128 == 0 and (2 * w) % 8 == 0
     if use_pallas is None:
         use_pallas = eligible and _on_tpu()
-    if use_pallas and (eligible or interpret):
-        return _upsample_add_pallas(top, lateral.astype(top.dtype), interpret)
-    # pure-JAX reference (XLA fuses this reasonably too)
-    wide = jnp.broadcast_to(
-        top[:, :, None, :, None, :], (b, h, 2, w, 2, c)
-    ).reshape(b, 2 * h, 2 * w, c)
-    return wide + lateral
+    use_kernel = bool(use_pallas and (eligible or interpret))
+    return _upsample_add(top, lateral, use_kernel, interpret)
 
 
 # -- softmax-weighted feature fusion ---------------------------------------
 
 
 def _weighted_sum_kernel(weights_ref, *refs):
+    # weights stay fp32: Mosaic only supports 32-bit scalar extracts
     *in_refs, out_ref = refs
-    acc = in_refs[0][...] * weights_ref[0, 0]
+    acc = in_refs[0][...].astype(jnp.float32) * weights_ref[0, 0]
     for i, ref in enumerate(in_refs[1:], start=1):
-        acc += ref[...] * weights_ref[0, i]
-    out_ref[...] = acc
+        acc += ref[...].astype(jnp.float32) * weights_ref[0, i]
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def _weighted_sum_pallas(weights, inputs, interpret: bool):
     b, h, w, c = inputs[0].shape
     n = len(inputs)
     grid = (b, h)
-    weights2d = weights.reshape(1, n).astype(inputs[0].dtype)
+    weights2d = weights.reshape(1, n).astype(jnp.float32)
     in_specs = [pl.BlockSpec((1, n), lambda i, j: (0, 0))] + [
         pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0)) for _ in inputs
     ]
@@ -119,22 +145,49 @@ def _weighted_sum_pallas(weights, inputs, interpret: bool):
     )(weights2d, *inputs)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _weighted_sum(weights, inputs, use_kernel: bool, interpret: bool):
+    if use_kernel:
+        return _weighted_sum_pallas(weights, list(inputs), interpret)
+    weights = weights.astype(inputs[0].dtype)
+    out = weights[0] * inputs[0]
+    for w_i, x in zip(weights[1:], inputs[1:]):
+        out = out + w_i * x
+    return out
+
+
+def _weighted_sum_fwd(weights, inputs, use_kernel, interpret):
+    out = _weighted_sum(weights, inputs, use_kernel, interpret)
+    return out, (weights, inputs)
+
+
+def _weighted_sum_bwd(use_kernel, interpret, res, g):
+    weights, inputs = res
+    g32 = g.astype(jnp.float32)
+    d_w = jnp.stack(
+        [jnp.sum(g32 * x.astype(jnp.float32)) for x in inputs]
+    ).astype(weights.dtype)
+    d_inputs = tuple((weights[i] * g).astype(inputs[i].dtype) for i in range(len(inputs)))
+    return d_w, d_inputs
+
+
+_weighted_sum.defvjp(_weighted_sum_fwd, _weighted_sum_bwd)
+
+
 def fused_weighted_sum(
     weights: jnp.ndarray,
     inputs: Sequence[jnp.ndarray],
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``sum_i weights[i] * inputs[i]`` over same-shape NHWC maps."""
-    inputs = list(inputs)
+    """``sum_i weights[i] * inputs[i]`` over same-shape NHWC maps.
+
+    Differentiable via a custom VJP.
+    """
+    inputs = tuple(inputs)
     c = inputs[0].shape[-1]
     eligible = _HAS_PLTPU and c % 128 == 0 and inputs[0].shape[2] % 8 == 0
     if use_pallas is None:
         use_pallas = eligible and _on_tpu()
-    if use_pallas and (eligible or interpret):
-        return _weighted_sum_pallas(weights, inputs, interpret)
-    weights = weights.astype(inputs[0].dtype)
-    out = weights[0] * inputs[0]
-    for w_i, x in zip(weights[1:], inputs[1:]):
-        out = out + w_i * x
-    return out
+    use_kernel = bool(use_pallas and (eligible or interpret))
+    return _weighted_sum(weights, inputs, use_kernel, interpret)

@@ -80,6 +80,23 @@ def _train_step(model: SihlModel, optimizer: nnx.Optimizer, x, targets):
     return metrics
 
 
+def _scan_body(model_and_opt, batch):
+    model, optimizer = model_and_opt
+    x, targets = batch
+
+    def loss_fn(model):
+        return _losses(model, x, targets)
+
+    (loss, _), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+    optimizer.update(model, grads)
+    return (model, optimizer), loss
+
+
+_train_scan = nnx.jit(
+    nnx.scan(_scan_body, in_axes=(nnx.Carry, 0), out_axes=(nnx.Carry, 0))
+)
+
+
 @nnx.jit
 def _eval_step(model: SihlModel, metric_states, x, targets):
     feats = model.extract_features(x)
@@ -206,6 +223,22 @@ class Trainer:
             backbone, "frozen_levels", 0
         ):
             backbone._set_frozen_bn_eval()
+
+    def training_steps_scanned(self, xs, targets_stacked) -> Any:
+        """Run K optimizer steps in ONE device dispatch via ``lax.scan``.
+
+        ``xs``: (K, B, H, W, C) stacked batches; ``targets_stacked``: the
+        per-head targets pytree with a leading K axis.  Amortizes host
+        dispatch latency — the standard TPU pattern for keeping the device
+        busy.  Returns the (K,) per-step losses.
+        """
+        if not isinstance(targets_stacked, list):
+            targets_stacked = [targets_stacked]
+        self.model.train()
+        self._apply_frozen_bn()
+        _, losses = _train_scan((self.model, self.optimizer), (xs, targets_stacked))
+        self.step += int(xs.shape[0])
+        return losses
 
     def fit(
         self,

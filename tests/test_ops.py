@@ -265,3 +265,25 @@ def test_polygon_iou():
     assert np.isclose(float(polygon_iou(sq1, sq1)), 1.0, atol=1e-5)
     far = sq1 + 5.0
     assert np.isclose(float(polygon_iou(sq1, far)), 0.0, atol=1e-6)
+
+
+def test_optimal_f1_threshold():
+    from sihl_tpu.utils import OptimalF1Threshold
+
+    m = OptimalF1Threshold(iou_threshold=0.5)
+    gt_boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    gt_classes = np.array([0, 1])
+    # one good high-score match, one wrong-class, one low-score noise
+    m.update(
+        preds_classes=np.array([0, 0, 1]),
+        preds_scores=np.array([0.9, 0.8, 0.1], np.float32),
+        preds_boxes=np.array(
+            [[0, 0, 10, 10], [20, 20, 30, 30], [50, 50, 60, 60]], np.float32
+        ),
+        target_classes=gt_classes,
+        target_boxes=gt_boxes,
+    )
+    out = m.compute()
+    assert 0 < out["best_f1"] <= 1
+    # thresholding away the 0.1 noise should be at least as good
+    assert out["optimal_threshold"] > 0.1 or out["best_f1"] == 1.0

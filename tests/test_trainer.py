@@ -209,3 +209,21 @@ def test_spatial_partition_training():
     losses = [float(trainer.training_step(x, y)["trainer/loss"]) for _ in range(3)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_training_steps_scanned_matches_loop():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, 4))
+
+    t1 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
+    loop_losses = [float(t1.training_step(x, y)["trainer/loss"]) for _ in range(3)]
+
+    t2 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
+    xs = jnp.stack([x] * 3)
+    ys = jnp.stack([y] * 3)
+    scan_losses = np.asarray(t2.training_steps_scanned(xs, ys))
+    assert t2.step == 3
+    # step 1 is bit-equivalent; later steps drift by float reassociation
+    np.testing.assert_allclose(scan_losses[0], loop_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(scan_losses, loop_losses, rtol=2e-2)
