@@ -247,21 +247,43 @@ class Trainer:
         val_data=None,
         val_every: Optional[int] = None,
         log_every: int = 50,
+        steps_per_dispatch: int = 1,
     ) -> Dict[str, float]:
-        """Simple step-driven fit loop over an (x, targets) iterator."""
+        """Step-driven fit loop over an (x, targets) iterator.
+
+        ``steps_per_dispatch > 1`` stacks that many batches and runs them
+        in one scanned device dispatch (see ``training_steps_scanned``) —
+        the production TPU configuration.
+        """
+        import jax.numpy as _jnp
+
         it = iter(train_data)
         last_metrics = {}
         t0 = time.perf_counter()
-        for _ in range(num_steps):
-            x, targets = next(it)
-            metrics = self.training_step(x, targets)
-            if self.step % log_every == 0:
-                last_metrics = {k: float(v) for k, v in metrics.items()}
+        done = 0
+        while done < num_steps:
+            if steps_per_dispatch > 1:
+                k = min(steps_per_dispatch, num_steps - done)
+                batches = [next(it) for _ in range(k)]
+                xs = _jnp.stack([_jnp.asarray(b[0]) for b in batches])
+                tgts = [b[1] if isinstance(b[1], list) else [b[1]] for b in batches]
+                stacked = jax.tree_util.tree_map(
+                    lambda *vs: _jnp.stack([_jnp.asarray(v) for v in vs]), *tgts
+                )
+                losses = self.training_steps_scanned(xs, stacked)
+                metrics = {"trainer/loss": losses[-1]}
+                done += k
+            else:
+                x, targets = next(it)
+                metrics = self.training_step(x, targets)
+                done += 1
+            if self.step % log_every < steps_per_dispatch:
+                last_metrics = {k_: float(v) for k_, v in metrics.items()}
                 last_metrics["trainer/steps_per_sec"] = log_every / max(
                     time.perf_counter() - t0, 1e-9
                 )
                 t0 = time.perf_counter()
-            if val_data is not None and val_every and self.step % val_every == 0:
+            if val_data is not None and val_every and self.step % val_every < steps_per_dispatch:
                 last_metrics.update(self.validate(val_data))
         return last_metrics
 

@@ -227,3 +227,12 @@ def test_training_steps_scanned_matches_loop():
     # step 1 is bit-equivalent; later steps drift by float reassociation
     np.testing.assert_allclose(scan_losses[0], loop_losses[0], rtol=1e-5)
     np.testing.assert_allclose(scan_losses, loop_losses, rtol=2e-2)
+
+
+def test_fit_steps_per_dispatch():
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2})
+    metrics = trainer.fit(
+        fake_batches(12), num_steps=6, steps_per_dispatch=3, log_every=3
+    )
+    assert trainer.step == 6
+    assert np.isfinite(metrics["trainer/loss"])

@@ -1,0 +1,65 @@
+"""End-to-end learning sanity on real TPU: train detection on synthetic
+bright-square data for 300 steps and report COCO mAP (expected >0.7)."""
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+from flax import nnx
+import sihl_tpu
+from sihl_tpu import Backbone, SihlModel
+from sihl_tpu.heads import ObjectDetection
+from sihl_tpu.layers import FPN
+from sihl_tpu.training import Trainer
+
+sihl_tpu.set_compute_dtype(jnp.bfloat16)
+B, S, T = 8, 320, 8
+
+def make_batch(rng):
+    x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+    classes = np.full((B, T), -1, np.int32)
+    boxes = np.zeros((B, T, 4), np.float32)
+    for b in range(B):
+        n = rng.randint(1, 4)
+        for t in range(n):
+            w, h = rng.randint(40, 90, 2)
+            x0 = rng.randint(0, S - w); y0 = rng.randint(0, S - h)
+            c = rng.randint(0, 2)
+            color = [0.9, 0.2, 0.2] if c == 0 else [0.2, 0.2, 0.9]
+            x[b, y0:y0+h, x0:x0+w] = color
+            classes[b, t] = c
+            boxes[b, t] = [x0, y0, x0 + w, y0 + h]
+    return x, classes, boxes
+
+rng = np.random.RandomState(0)
+rngs = nnx.Rngs(0)
+backbone = Backbone("resnet18", rngs=rngs)
+neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+head = ObjectDetection(neck.out_channels, 2, bottom_level=3, top_level=5,
+                       num_channels=128, num_layers=2, max_targets=T, rngs=rngs)
+model = SihlModel(backbone, neck, [head])
+trainer = Trainer(model, optimizer="adamw",
+                  optimizer_kwargs={"lr": 3e-4, "weight_decay": 1e-4},
+                  scheduler="cosine", scheduler_kwargs={"T_max": 300, "warmup": 20},
+                  grad_clip=1.0)
+
+K = 10
+def stacked(seed):
+    r = np.random.RandomState(seed)
+    xs, cs, bs = [], [], []
+    for _ in range(K):
+        x, c, b = make_batch(r)
+        xs.append(x); cs.append(c); bs.append(b)
+    return (jnp.asarray(np.stack(xs)),
+            {"classes": jnp.asarray(np.stack(cs)), "boxes": jnp.asarray(np.stack(bs))})
+
+t0 = time.time()
+for chunk in range(30):
+    xs, ts = stacked(chunk + 1)
+    losses = trainer.training_steps_scanned(xs, ts)
+    if chunk % 5 == 0 or chunk == 29:
+        print(f"steps {trainer.step}: loss {float(losses[-1]):.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+# validate
+vx, vc, vb = make_batch(np.random.RandomState(999))
+val = trainer.validate([(jnp.asarray(vx), {"classes": jnp.asarray(vc), "boxes": jnp.asarray(vb)})])
+print({k.split("/")[-1]: round(v, 4) for k, v in val.items() if k.split("/")[-1] in ("loss","map","map_50","mar_10")}, flush=True)
