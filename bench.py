@@ -20,7 +20,6 @@ A100_X2_TARGET = 400.0  # images/sec/chip
 BATCH = 16
 IMAGE_SIZE = 640
 NUM_CLASSES = 80
-WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
@@ -73,11 +72,8 @@ def main():
 
     # NB: sync via host transfer — block_until_ready is unreliable through
     # remote-device transports
-    xs_w, ts_w = stack(WARMUP_STEPS)
-    _ = float(trainer.training_steps_scanned(xs_w, ts_w).sum())
-
     xs_m, ts_m = stack(MEASURE_STEPS)
-    _ = float(trainer.training_steps_scanned(xs_m, ts_m).sum())  # K=10 compile
+    _ = float(trainer.training_steps_scanned(xs_m, ts_m).sum())  # compile + warm
     t0 = time.perf_counter()
     losses_sum = 0.0
     for _rep in range(2):

@@ -115,6 +115,14 @@ class PyramidBackbone(nnx.Module):
                 if isinstance(sub, nnx.BatchNorm):
                     sub.use_running_average = True
 
+    @property
+    def dummy_input(self):
+        """Minimal valid input (reference ``torchvision_backbone.py:162``)."""
+        import jax.numpy as jnp
+
+        min_size = 2 ** (self.top_level + 1)
+        return jnp.zeros((1, min_size, min_size, self.input_channels))
+
     # -- forward ----------------------------------------------------------
     def __call__(self, input: jnp.ndarray) -> List[jnp.ndarray]:
         b, h, w, _ = input.shape

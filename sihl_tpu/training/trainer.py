@@ -143,6 +143,10 @@ class Trainer:
         spatial_partition: bool = False,
         ema_decay: Optional[float] = None,
         logger: Optional[Callable[[Dict[str, float], int], None]] = None,
+        viz_logger=None,
+        viz_every: int = 0,
+        visualize_n_batches: int = 5,
+        visualize_n_per_batch: int = 1,
     ):
         self.model = model
         self.data_config = data_config or [{} for _ in model.heads]
@@ -150,6 +154,10 @@ class Trainer:
             self.data_config = [self.data_config]
         self.hyperparameters = hyperparameters
         self.logger = logger
+        self.viz_logger = viz_logger
+        self.viz_every = viz_every
+        self.visualize_n_batches = visualize_n_batches
+        self.visualize_n_per_batch = visualize_n_per_batch
         self.mesh = mesh
         self.spatial_partition = spatial_partition
         self.ema_decay = ema_decay
@@ -204,6 +212,12 @@ class Trainer:
             sharder = shard_batch_spatial if self.spatial_partition else shard_batch
             x = sharder(x, self.mesh)
             targets = sharder(targets, self.mesh)
+        if (
+            self.viz_logger is not None
+            and self.viz_every
+            and self.step % self.viz_every == 0
+        ):
+            self._visualize(x, targets, prefix="train/")
         self.model.train()
         self._apply_frozen_bn()
         metrics = _train_step(self.model, self.optimizer, x, targets)
@@ -216,6 +230,22 @@ class Trainer:
         if self.logger is not None:
             self.logger({k: float(v) for k, v in metrics.items()}, self.step)
         return metrics
+
+    def _visualize(self, x, targets, prefix, start_idx=0):
+        """Render per-head panels (reference cadence: first train batch per
+        epoch + cached val batches, lightning_module.py:77-86,276-286)."""
+        from sihl_tpu.visualization import visualize
+
+        n = self.visualize_n_per_batch
+        x_small = x[:n]
+        targets_small = jax.tree_util.tree_map(
+            lambda v: v[:n] if hasattr(v, "ndim") and v.ndim >= 1 else v, targets
+        )
+        visualize(
+            self.model, self.data_config, x_small, targets_small,
+            self.viz_logger, self.step, start_idx=start_idx, prefix=prefix,
+        )
+        self.model.train()
 
     def _apply_frozen_bn(self):
         backbone = self.model.backbone
@@ -297,9 +327,12 @@ class Trainer:
                 head.on_validation_start()
         states = [head.metrics_init() for head in self.model.heads]
         collected = [[] for _ in self.model.heads]
+        viz_batches = []
         for x, targets in val_data:
             if not isinstance(targets, list):
                 targets = [targets]
+            if self.viz_logger is not None and len(viz_batches) < self.visualize_n_batches:
+                viz_batches.append((x, targets))
             if self.mesh is not None:
                 x = shard_batch(x, self.mesh)
                 targets = shard_batch(targets, self.mesh)
@@ -313,6 +346,12 @@ class Trainer:
                 metrics[f"head{idx}/valid/{k}"] = v
         if self.logger is not None:
             self.logger(metrics, self.step)
+            if self.hyperparameters and hasattr(self.logger, "log_hyperparams"):
+                self.logger.log_hyperparams(self.hyperparameters, metrics, self.step)
+        for i, (x, targets) in enumerate(viz_batches):
+            self._visualize(
+                x, targets, prefix="valid/", start_idx=i * self.visualize_n_per_batch
+            )
         return metrics
 
     # -- pretraining protocol (anomaly head teacher calibration) ------------

@@ -236,3 +236,21 @@ def test_fit_steps_per_dispatch():
     )
     assert trainer.step == 6
     assert np.isfinite(metrics["trainer/loss"])
+
+
+def test_visualization_cadence():
+    logged = []
+    trainer = Trainer(
+        make_model(),
+        optimizer_kwargs={"lr": 1e-2},
+        viz_logger=lambda tag, img, step: logged.append(tag),
+        viz_every=2,
+        visualize_n_batches=1,
+    )
+    x, y = next(fake_batches(1))
+    trainer.training_step(x, y)  # step 0 -> viz
+    trainer.training_step(x, y)  # step 1 -> no viz
+    trainer.training_step(x, y)  # step 2 -> viz
+    assert sum(t.startswith("train/") for t in logged) == 2
+    trainer.validate([(x, y)])
+    assert any(t.startswith("valid/") for t in logged)
