@@ -47,25 +47,33 @@ def _on_tpu() -> bool:
 
 
 def _upsample_add_kernel(top_ref, lateral_ref, out_ref):
-    # top block: (1, 1, w, C); lateral/out block: (1, 2, 2w, C)
-    top = top_ref[0, 0]  # (w, C)
-    w, c = top.shape
-    wide = jnp.broadcast_to(top[:, None, :], (w, 2, c)).reshape(2 * w, c)
-    out_ref[0, 0] = lateral_ref[0, 0] + wide
-    out_ref[0, 1] = lateral_ref[0, 1] + wide
+    # top block: (1, R, w, C); lateral/out block: (1, 2R, 2w, C)
+    top = top_ref[0]  # (R, w, C)
+    r, w, c = top.shape
+    # nearest 2x in both dims: (R, w, C) -> (2R, 2w, C)
+    wide = jnp.broadcast_to(top[:, None, :, None, :], (r, 2, w, 2, c))
+    wide = wide.reshape(2 * r, 2 * w, c)
+    out_ref[0] = lateral_ref[0] + wide
 
 
 def _upsample_add_pallas(top: jnp.ndarray, lateral: jnp.ndarray, interpret: bool):
     b, h, w, c = top.shape
-    grid = (b, h)
+    # multi-row blocks amortize DMA setup; rows per step picked so a block
+    # is a few hundred KB of VMEM
+    rows = 1
+    for cand in (16, 8, 4, 2):
+        if h % cand == 0 and 2 * cand * 2 * w * c * lateral.dtype.itemsize <= 2**21:
+            rows = cand
+            break
+    grid = (b, h // rows)
     return pl.pallas_call(
         _upsample_add_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 2, 2 * w, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, rows, w, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 2 * rows, 2 * w, c), lambda i, j: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, 2 * w, c), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, 2 * rows, 2 * w, c), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(lateral.shape, lateral.dtype),
         interpret=interpret,
     )(top, lateral)

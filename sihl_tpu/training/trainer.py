@@ -97,6 +97,20 @@ _train_scan = nnx.jit(
 )
 
 
+def _scan_body_ema(carry, batch):
+    (model, optimizer), ema, decay = carry[0], carry[1], carry[2]
+    (model, optimizer), loss = _scan_body((model, optimizer), batch)
+    ema = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1 - decay), ema, nnx.state(model, nnx.Param)
+    )
+    return ((model, optimizer), ema, decay), loss
+
+
+_train_scan_ema = nnx.jit(
+    nnx.scan(_scan_body_ema, in_axes=(nnx.Carry, 0), out_axes=(nnx.Carry, 0))
+)
+
+
 @nnx.jit
 def _eval_step(model: SihlModel, metric_states, x, targets):
     feats = model.extract_features(x)
@@ -266,7 +280,15 @@ class Trainer:
             targets_stacked = [targets_stacked]
         self.model.train()
         self._apply_frozen_bn()
-        _, losses = _train_scan((self.model, self.optimizer), (xs, targets_stacked))
+        if self.ema_params is not None:
+            carry, losses = _train_scan_ema(
+                ((self.model, self.optimizer), self.ema_params,
+                 jnp.float32(self.ema_decay)),
+                (xs, targets_stacked),
+            )
+            self.ema_params = carry[1]
+        else:
+            _, losses = _train_scan((self.model, self.optimizer), (xs, targets_stacked))
         self.step += int(xs.shape[0])
         return losses
 

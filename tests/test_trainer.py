@@ -254,3 +254,17 @@ def test_visualization_cadence():
     assert sum(t.startswith("train/") for t in logged) == 2
     trainer.validate([(x, y)])
     assert any(t.startswith("valid/") for t in logged)
+
+
+def test_ema_in_scanned_path():
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2}, ema_decay=0.5)
+    x, y = next(fake_batches(1))
+    before = np.asarray(
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    ).copy()
+    xs, ys = jnp.stack([x] * 3), jnp.stack([y] * 3)
+    trainer.training_steps_scanned(xs, ys)
+    after = np.asarray(
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    )
+    assert not np.allclose(before, after), "EMA did not update in scan"
