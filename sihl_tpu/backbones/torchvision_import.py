@@ -24,10 +24,9 @@ def _assign_convbn(convbn, sd, conv_key: str, bn_key: str) -> None:
 
 def load_torchvision_weights(features, name: str, input_channels: int = 3) -> None:
     try:
-        import torch
         import torchvision
     except ImportError as e:  # pragma: no cover
-        raise RuntimeError("pretrained=True requires torch/torchvision on host") from e
+        raise RuntimeError("pretrained=True requires torchvision on host") from e
 
     try:
         model = torchvision.models.get_model(name, weights="DEFAULT")
@@ -37,7 +36,11 @@ def load_torchvision_weights(features, name: str, input_channels: int = 3) -> No
             "(no network egress and no local cache?)"
         ) from e
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    load_state_dict(features, name, sd, input_channels)
 
+
+def load_state_dict(features, name: str, sd, input_channels: int = 3) -> None:
+    """Apply a torchvision-format numpy state dict to a native feature net."""
     if name.startswith(("resnet", "resnext", "wide_resnet")):
         _load_resnet(features, sd, input_channels)
     else:
