@@ -55,7 +55,14 @@ def _call_step(head, method, feats, target, state=None):
 
 
 def _losses(model: SihlModel, x, targets):
-    feats = model.extract_features(x)
+    if getattr(model, "_remat_features", False):
+        # rematerialize the trunk in the backward pass: trades FLOPs for
+        # activation memory (jax.checkpoint), enabling larger batches
+        feats = jax.checkpoint(
+            lambda m, xx: m.extract_features(xx), static_argnums=()
+        )(model, x)
+    else:
+        feats = model.extract_features(x)
     losses, metrics = [], {}
     for idx, (head, target) in enumerate(zip(model.heads, targets)):
         if getattr(head, "target_is_second_view", False):
@@ -155,6 +162,7 @@ class Trainer:
         grad_clip: Optional[float] = None,
         mesh=None,
         spatial_partition: bool = False,
+        remat: bool = False,
         ema_decay: Optional[float] = None,
         logger: Optional[Callable[[Dict[str, float], int], None]] = None,
         viz_logger=None,
@@ -174,6 +182,7 @@ class Trainer:
         self.visualize_n_per_batch = visualize_n_per_batch
         self.mesh = mesh
         self.spatial_partition = spatial_partition
+        model._remat_features = remat
         self.ema_decay = ema_decay
         self.ema_params = (
             jax.tree_util.tree_map(jnp.copy, nnx.state(model, nnx.Param))

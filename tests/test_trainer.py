@@ -268,3 +268,12 @@ def test_ema_in_scanned_path():
         trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
     )
     assert not np.allclose(before, after), "EMA did not update in scan"
+
+
+def test_remat_training():
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2}, remat=True)
+    x, y = next(fake_batches(1))
+    l0 = float(trainer.training_step(x, y)["trainer/loss"])
+    for _ in range(3):
+        m = trainer.training_step(x, y)
+    assert float(m["trainer/loss"]) < l0
