@@ -180,12 +180,15 @@ class AnomalyDetection(Head):
         if not is_validating:
             self._update_reservoir(distance_st, distance_stae)
 
-        # hard-mined student-teacher loss at the p=0.999 quantile (:162-164)
+        # hard-mined student-teacher loss at the p=0.999 quantile
+        # (:162-164).  Selecting "values >= quantile(p)" is the same set as
+        # the top (1-p) fraction; top_k avoids the full sort a quantile
+        # needs over millions of elements per sample.
         b = distance_st.shape[0]
         flat = distance_st.reshape(b, -1)
-        q = jnp.quantile(flat, self.p_hard, axis=1)  # (B,)
-        hard = flat >= q[:, None]
-        loss_st = jnp.sum(jnp.where(hard, flat, 0.0)) / jnp.maximum(jnp.sum(hard), 1)
+        k = max(1, int(round(flat.shape[1] * (1.0 - self.p_hard))))
+        hard_vals, _ = jax.lax.top_k(flat, k)  # (B, k)
+        loss_st = jnp.mean(hard_vals)
         loss_ae = jnp.mean(distance_ae)
         loss_stae = jnp.mean(distance_stae)
         return loss_st + loss_ae + loss_stae, {
