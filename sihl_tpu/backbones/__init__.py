@@ -155,6 +155,20 @@ _TIMM_ALIASES = {
     "efficientnetv2_s": "efficientnet_v2_s",
     "efficientnetv2_m": "efficientnet_v2_m",
     "efficientnetv2_l": "efficientnet_v2_l",
+    "resnet26": "resnet26",
+    "convnext_atto": "convnext_atto",
+    "convnext_femto": "convnext_femto",
+    "convnext_pico": "convnext_pico",
+    "convnext_nano": "convnext_nano",
+    "convnext_xlarge": "convnext_xlarge",
+    "convnext_xxlarge": "convnext_xxlarge",
+    "convnextv2_atto": "convnextv2_atto",
+    "convnextv2_femto": "convnextv2_femto",
+    "convnextv2_pico": "convnextv2_pico",
+    "convnextv2_nano": "convnextv2_nano",
+    "convnextv2_tiny": "convnextv2_tiny",
+    "convnextv2_base": "convnextv2_base",
+    "convnextv2_large": "convnextv2_large",
 }
 
 

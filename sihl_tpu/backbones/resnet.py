@@ -138,6 +138,7 @@ class ResNetFeatures(nnx.Module):
 
 RESNET_CONFIGS = {
     "resnet18": dict(block=BasicBlock, layers=[2, 2, 2, 2]),
+    "resnet26": dict(block=Bottleneck, layers=[2, 2, 2, 2]),
     "resnet34": dict(block=BasicBlock, layers=[3, 4, 6, 3]),
     "resnet50": dict(block=Bottleneck, layers=[3, 4, 6, 3]),
     "resnet101": dict(block=Bottleneck, layers=[3, 4, 23, 3]),
