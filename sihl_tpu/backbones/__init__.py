@@ -156,6 +156,7 @@ _TIMM_ALIASES = {
     "efficientnetv2_m": "efficientnet_v2_m",
     "efficientnetv2_l": "efficientnet_v2_l",
     "resnet26": "resnet26",
+    "efficientnet_lite0": "efficientnet_lite0",
     "convnext_atto": "convnext_atto",
     "convnext_femto": "convnext_femto",
     "convnext_pico": "convnext_pico",

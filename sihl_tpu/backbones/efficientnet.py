@@ -26,14 +26,19 @@ def _round_channels(channels: float, divisor: int = 8) -> int:
 
 
 class _ConvBNAct(nnx.Module):
-    def __init__(self, cin, cout, k, stride=1, groups=1, act=True, rngs=None):
+    def __init__(self, cin, cout, k, stride=1, groups=1, act=True, relu6=False, rngs=None):
         self.conv = make_conv(cin, cout, k, stride=stride, groups=groups, bias=False, rngs=rngs)
         self.bn = make_norm("batch", cout, 1, rngs)
         self.act = act
+        self.relu6 = relu6
 
     def __call__(self, x):
         x = self.bn(self.conv(x))
-        return nnx.silu(x) if self.act else x
+        if not self.act:
+            return x
+        if self.relu6:
+            return jnp.clip(jnp.maximum(x, 0.0), 0.0, 6.0)
+        return nnx.silu(x)
 
 
 class SqueezeExcite(nnx.Module):
@@ -48,23 +53,30 @@ class SqueezeExcite(nnx.Module):
 
 
 class MBConv(nnx.Module):
-    def __init__(self, cin, cout, kernel, stride, expand_ratio, rngs=None):
+    def __init__(self, cin, cout, kernel, stride, expand_ratio, use_se=True,
+                 relu6=False, rngs=None):
         expanded = cin * expand_ratio
         self.use_residual = stride == 1 and cin == cout
         self.expand = (
-            _ConvBNAct(cin, expanded, 1, rngs=rngs) if expand_ratio != 1 else None
+            _ConvBNAct(cin, expanded, 1, relu6=relu6, rngs=rngs)
+            if expand_ratio != 1
+            else None
         )
         self.depthwise = _ConvBNAct(
-            expanded, expanded, kernel, stride=stride, groups=expanded, rngs=rngs
+            expanded, expanded, kernel, stride=stride, groups=expanded,
+            relu6=relu6, rngs=rngs,
         )
-        self.se = SqueezeExcite(expanded, max(1, cin // 4), rngs=rngs)
+        self.se = SqueezeExcite(expanded, max(1, cin // 4), rngs=rngs) if use_se else None
         self.project = _ConvBNAct(expanded, cout, 1, act=False, rngs=rngs)
 
     def __call__(self, x):
         h = x
         if self.expand is not None:
             h = self.expand(h)
-        h = self.project(self.se(self.depthwise(h)))
+        h = self.depthwise(h)
+        if self.se is not None:
+            h = self.se(h)
+        h = self.project(h)
         return x + h if self.use_residual else h
 
 
@@ -87,12 +99,12 @@ class FusedMBConv(nnx.Module):
 
 
 class _Stage(nnx.Module):
-    def __init__(self, block, cin, cout, kernel, stride, expand, num, rngs):
+    def __init__(self, block, cin, cout, kernel, stride, expand, num, rngs, **kw):
         self.blocks = nnx.List([])
         for i in range(num):
             self.blocks.append(
                 block(cin if i == 0 else cout, cout, kernel, stride if i == 0 else 1,
-                      expand, rngs=rngs)
+                      expand, rngs=rngs, **kw)
             )
 
     def __call__(self, x):
@@ -150,7 +162,7 @@ _V2_STAGES = {
         (MBConv, 6, 3, 1, 640, 7),
     ],
 }
-EFFICIENTNET_CONFIGS = {**_B_MULTS, **_V2_STAGES}
+EFFICIENTNET_CONFIGS = {**_B_MULTS, **_V2_STAGES, "efficientnet_lite0": None}
 
 
 class EfficientNetFeatures(nnx.Module):
@@ -158,7 +170,12 @@ class EfficientNetFeatures(nnx.Module):
 
     def __init__(self, name: str, input_channels: int = 3, *, rngs: Optional[nnx.Rngs] = None):
         rngs = _rngs(rngs)
-        if name in _B_MULTS:
+        lite = name.startswith("efficientnet_lite")
+        if lite:
+            # lite0 = B0 stages, no SE, relu6, fixed 32/1280 stem/head
+            stages_cfg = list(_B0_STAGES)
+            stem_c, head_c = 32, 1280
+        elif name in _B_MULTS:
             width, depth = _B_MULTS[name]
             stages_cfg = [
                 (blk, exp, k, s, _round_channels(c * width), int(math.ceil(n * depth)))
@@ -171,13 +188,14 @@ class EfficientNetFeatures(nnx.Module):
             stem_c = stages_cfg[0][4]
             head_c = 1280
 
-        self.stem = _ConvBNAct(input_channels, stem_c, 3, stride=2, rngs=rngs)
+        self.stem = _ConvBNAct(input_channels, stem_c, 3, stride=2, relu6=lite, rngs=rngs)
         self.stages = nnx.List([])
         cin = stem_c
+        extra = {"use_se": False, "relu6": True} if lite else {}
         for blk, exp, k, s, c, n in stages_cfg:
-            self.stages.append(_Stage(blk, cin, c, k, s, exp, n, rngs))
+            self.stages.append(_Stage(blk, cin, c, k, s, exp, n, rngs, **extra))
             cin = c
-        self.head = _ConvBNAct(cin, head_c, 1, rngs=rngs)
+        self.head = _ConvBNAct(cin, head_c, 1, relu6=lite, rngs=rngs)
 
         # emit a pyramid level after the LAST stage at each cumulative
         # stride — this reproduces torchvision's features.{1,2,3,5,8} nodes;
