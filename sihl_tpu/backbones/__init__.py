@@ -156,6 +156,8 @@ _TIMM_ALIASES = {
     "efficientnetv2_m": "efficientnet_v2_m",
     "efficientnetv2_l": "efficientnet_v2_l",
     "resnet26": "resnet26",
+    "resnetv2_50": "resnetv2_50",
+    "resnetv2_101": "resnetv2_101",
     "efficientnet_lite0": "efficientnet_lite0",
     "convnext_atto": "convnext_atto",
     "convnext_femto": "convnext_femto",

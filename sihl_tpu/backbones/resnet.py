@@ -136,6 +136,55 @@ class ResNetFeatures(nnx.Module):
         return [c1, c2, c3, c4, c5]
 
 
+class PreactBottleneck(nnx.Module):
+    """Pre-activation bottleneck (He et al. 2016; timm resnetv2_*)."""
+
+    expansion = 4
+
+    def __init__(self, in_planes, planes, stride=1, groups=1, base_width=64, *, rngs=None):
+        width = int(planes * (base_width / 64.0)) * groups
+        out_planes = planes * self.expansion
+        self.norm1 = make_norm("batch", in_planes, 1, rngs)
+        self.conv1 = make_conv(in_planes, width, 1, bias=False, rngs=rngs)
+        self.norm2 = make_norm("batch", width, 1, rngs)
+        self.conv2 = make_conv(width, width, 3, stride=stride, groups=groups, bias=False, rngs=rngs)
+        self.norm3 = make_norm("batch", width, 1, rngs)
+        self.conv3 = make_conv(width, out_planes, 1, bias=False, rngs=rngs)
+        self.downsample = (
+            make_conv(in_planes, out_planes, 1, stride=stride, bias=False, rngs=rngs)
+            if (stride != 1 or in_planes != out_planes)
+            else None
+        )
+
+    def __call__(self, x):
+        pre = nnx.relu(self.norm1(x))
+        identity = self.downsample(pre) if self.downsample is not None else x
+        out = self.conv1(pre)
+        out = self.conv2(nnx.relu(self.norm2(out)))
+        out = self.conv3(nnx.relu(self.norm3(out)))
+        return out + identity
+
+
+class ResNetV2Features(ResNetFeatures):
+    """Pre-activation ResNet; final norm-relu applied to the last stage."""
+
+    def __init__(self, block, layers, input_channels=3, groups=1, base_width=64,
+                 *, rngs=None):
+        rngs = _rngs(rngs)
+        super().__init__(block, layers, input_channels=input_channels,
+                         groups=groups, base_width=base_width, rngs=rngs)
+        self.final_norm = make_norm("batch", self.feature_channels[-1], 1, rngs)
+
+    def __call__(self, x):
+        c1 = self.stem(x)
+        x = max_pool2d(c1, 3, stride=2, padding=1)
+        c2 = self.layer1(x)
+        c3 = self.layer2(c2)
+        c4 = self.layer3(c3)
+        c5 = nnx.relu(self.final_norm(self.layer4(c4)))
+        return [c1, c2, c3, c4, c5]
+
+
 RESNET_CONFIGS = {
     "resnet18": dict(block=BasicBlock, layers=[2, 2, 2, 2]),
     "resnet26": dict(block=Bottleneck, layers=[2, 2, 2, 2]),
@@ -148,6 +197,8 @@ RESNET_CONFIGS = {
     "resnext101_64x4d": dict(block=Bottleneck, layers=[3, 4, 23, 3], groups=64, base_width=4),
     "wide_resnet50_2": dict(block=Bottleneck, layers=[3, 4, 6, 3], base_width=128),
     "wide_resnet101_2": dict(block=Bottleneck, layers=[3, 4, 23, 3], base_width=128),
+    "resnetv2_50": dict(block=PreactBottleneck, layers=[3, 4, 6, 3], v2=True),
+    "resnetv2_101": dict(block=PreactBottleneck, layers=[3, 4, 23, 3], v2=True),
 }
 
 
@@ -155,4 +206,5 @@ def make_resnet_features(name: str, input_channels: int = 3, *, rngs=None) -> Re
     cfg = dict(RESNET_CONFIGS[name])
     block = cfg.pop("block")
     layers = cfg.pop("layers")
-    return ResNetFeatures(block, layers, input_channels=input_channels, rngs=rngs, **cfg)
+    cls = ResNetV2Features if cfg.pop("v2", False) else ResNetFeatures
+    return cls(block, layers, input_channels=input_channels, rngs=rngs, **cfg)

@@ -150,3 +150,27 @@ def test_map_wrong_detection():
     acc.update(pred_boxes, pred_classes, scores, gt_boxes, gt_classes)
     out = acc.compute()
     assert out["map"] < 0.01, out
+
+
+def test_map_hand_computed_case():
+    """Exactness check against a hand-derived AP value.
+
+    One class, two gt boxes in one image. Detections: rank-1 TP (IoU=1),
+    rank-2 FP (IoU=0).  PR points: (p=1, r=0.5) then (p=0.5, r=0.5).
+    101-pt interpolated AP at every threshold t<=0.95... precision
+    envelope = 1.0 for recall <= 0.5, 0 beyond -> AP = 51/101.
+    """
+    from sihl_tpu.utils.coco_map import MeanAveragePrecisionAccumulator
+
+    acc = MeanAveragePrecisionAccumulator()
+    gt_boxes = np.array([[[0, 0, 100, 100], [200, 200, 300, 300]]], np.float32)
+    gt_classes = np.array([[0, 0]])
+    pred_boxes = np.array([[[0, 0, 100, 100], [400, 400, 450, 450]]], np.float32)
+    pred_classes = np.array([[0, 0]])
+    scores = np.array([[0.9, 0.8]], np.float32)
+    acc.update(pred_boxes, pred_classes, scores, gt_boxes, gt_classes)
+    out = acc.compute()
+    expected_ap = 51 / 101  # recall points 0.00..0.50 at precision 1.0
+    assert np.isclose(out["map_50"], expected_ap, atol=1e-6), out["map_50"]
+    assert np.isclose(out["map"], expected_ap, atol=1e-6), out["map"]
+    assert np.isclose(out["mar_10"], 0.5, atol=1e-6)
