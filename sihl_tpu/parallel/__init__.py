@@ -22,11 +22,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (no-op if already initialized or single-process)."""
+    """Multi-host init (no-op if already initialized or single-process).
+
+    On a genuinely multi-process config (coordinator address or process
+    count supplied) a failure is re-raised — silently degrading to
+    single-host there would corrupt training semantics.  Only the
+    single-process convenience path swallows the "nothing to initialize"
+    errors.
+    """
+    multi = bool(
+        kwargs.get("coordinator_address") or (kwargs.get("num_processes") or 1) > 1
+    )
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except (RuntimeError, ValueError) as e:
+        if multi:
+            raise
+        import warnings
+
+        warnings.warn(f"jax.distributed.initialize skipped: {e}")
 
 
 def make_mesh(
@@ -34,11 +48,28 @@ def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
 ) -> Mesh:
-    """Create a ("data", "model") mesh over the available devices."""
+    """Create a ("data", "model") mesh over the available devices.
+
+    Degrades gracefully: if the requested factorization does not match the
+    device count, the ``model`` axis collapses to 1 (with a warning) and
+    ``data`` is recomputed; a still-impossible request raises ValueError.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
     if data is None:
-        data = len(devices) // model
-    assert data * model == len(devices), (data, model, len(devices))
+        if n % model != 0:
+            model = 1
+        data = n // model
+    if data * model != n:
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: requested data={data} x model={model} != {n} devices; "
+            "collapsing model axis to 1"
+        )
+        model, data = 1, n
+    if data * model != n or n == 0:
+        raise ValueError(f"cannot build a mesh: data={data} model={model} devices={n}")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
