@@ -64,10 +64,23 @@ class PyramidBackbone(nnx.Module):
         )
         self.out_channels = channels + [top_c] * (top_level - native_levels)
 
-        self.frozen_levels = frozen_levels if pretrained else 0
         self.freeze_batchnorms = freeze_batchnorms
+        self.set_frozen_levels(frozen_levels if pretrained else 0)
         if self.frozen_levels != 0 and freeze_batchnorms:
             self._set_frozen_bn_eval()
+
+    def set_frozen_levels(self, frozen_levels: int) -> None:
+        """Set the frozen prefix and the matching backward-skip boundary.
+
+        Feature nets that honor ``_sg_levels`` cut the gradient chain at the
+        deepest frozen level's output, so the frozen prefix (which carries no
+        trainable params) skips its backward pass entirely.
+        """
+        self.frozen_levels = frozen_levels
+        n = len(self.features.feature_channels)
+        self.features._sg_levels = n if frozen_levels < 0 else min(
+            max(frozen_levels, 0), n
+        )
 
     # -- freezing ---------------------------------------------------------
     def frozen_attr_names(self) -> List:

@@ -10,6 +10,7 @@ pretrained torchvision weights can be ported 1:1.
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -127,12 +128,26 @@ class ResNetFeatures(nnx.Module):
         self.feature_channels = [64] + [p * block.expansion for p in planes]
 
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        sg = getattr(self, "_sg_levels", 0)
         c1 = self.stem(x)
+        # frozen-prefix levels carry no trainable params, so cutting the
+        # gradient chain here removes their entire backward pass (the
+        # high-resolution convs are the most HBM-expensive in the net)
+        if sg >= 1:
+            c1 = jax.lax.stop_gradient(c1)
         x = max_pool2d(c1, 3, stride=2, padding=1)
         c2 = self.layer1(x)
+        if sg >= 2:
+            c2 = jax.lax.stop_gradient(c2)
         c3 = self.layer2(c2)
+        if sg >= 3:
+            c3 = jax.lax.stop_gradient(c3)
         c4 = self.layer3(c3)
+        if sg >= 4:
+            c4 = jax.lax.stop_gradient(c4)
         c5 = self.layer4(c4)
+        if sg >= 5:
+            c5 = jax.lax.stop_gradient(c5)
         return [c1, c2, c3, c4, c5]
 
 
@@ -176,12 +191,23 @@ class ResNetV2Features(ResNetFeatures):
         self.final_norm = make_norm("batch", self.feature_channels[-1], 1, rngs)
 
     def __call__(self, x):
+        sg = getattr(self, "_sg_levels", 0)
         c1 = self.stem(x)
+        if sg >= 1:
+            c1 = jax.lax.stop_gradient(c1)
         x = max_pool2d(c1, 3, stride=2, padding=1)
         c2 = self.layer1(x)
+        if sg >= 2:
+            c2 = jax.lax.stop_gradient(c2)
         c3 = self.layer2(c2)
+        if sg >= 3:
+            c3 = jax.lax.stop_gradient(c3)
         c4 = self.layer3(c3)
+        if sg >= 4:
+            c4 = jax.lax.stop_gradient(c4)
         c5 = nnx.relu(self.final_norm(self.layer4(c4)))
+        if sg >= 5:
+            c5 = jax.lax.stop_gradient(c5)
         return [c1, c2, c3, c4, c5]
 
 

@@ -87,35 +87,42 @@ def _train_step(model: SihlModel, optimizer: nnx.Optimizer, x, targets):
     return metrics
 
 
-def _scan_body(model_and_opt, batch):
-    model, optimizer = model_and_opt
-    x, targets = batch
+def _make_scan_runner(graphdef, ema: bool):
+    """Build the multi-step dispatch: ``lax.scan`` over K optimizer steps.
 
-    def loss_fn(model):
-        return _losses(model, x, targets)
+    The carry (model+optimizer state, and the EMA shadow if enabled) is
+    **donated**, so XLA updates it in place across dispatches — no state
+    copies and no per-call nnx graph traversal (the split happens once, in
+    :meth:`Trainer._scan_carry`).  Returns the full per-step metrics dict
+    (stacked over K), keeping feature parity with the step loop.
+    """
 
-    (loss, _), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
-    optimizer.update(model, grads)
-    return (model, optimizer), loss
+    def body(carry, batch):
+        state = carry[0] if ema else carry
+        model, optimizer = nnx.merge(graphdef, state)
+        x, targets = batch
 
+        def loss_fn(model):
+            return _losses(model, x, targets)
 
-_train_scan = nnx.jit(
-    nnx.scan(_scan_body, in_axes=(nnx.Carry, 0), out_axes=(nnx.Carry, 0))
-)
+        (loss, metrics), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+        optimizer.update(model, grads)
+        metrics["trainer/loss"] = loss
+        new_state = nnx.state((model, optimizer))
+        if ema:
+            _, ema_params, decay = carry
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * decay + p * (1 - decay),
+                ema_params,
+                nnx.state(model, nnx.Param),
+            )
+            return (new_state, ema_params, decay), metrics
+        return new_state, metrics
 
+    def run(carry, xs, targets):
+        return jax.lax.scan(body, carry, (xs, targets))
 
-def _scan_body_ema(carry, batch):
-    (model, optimizer), ema, decay = carry[0], carry[1], carry[2]
-    (model, optimizer), loss = _scan_body((model, optimizer), batch)
-    ema = jax.tree_util.tree_map(
-        lambda e, p: e * decay + p * (1 - decay), ema, nnx.state(model, nnx.Param)
-    )
-    return ((model, optimizer), ema, decay), loss
-
-
-_train_scan_ema = nnx.jit(
-    nnx.scan(_scan_body_ema, in_axes=(nnx.Carry, 0), out_axes=(nnx.Carry, 0))
-)
+    return jax.jit(run, donate_argnums=(0,))
 
 
 @nnx.jit
@@ -215,6 +222,9 @@ class Trainer:
         )
         self.optimizer = nnx.Optimizer(model, self.tx, wrt=nnx.Param)
         self.step = 0
+        self._scan_state = None
+        self._scan_runner = None
+        self._scan_key = None
 
         if mesh is not None:
             # replicate all model/optimizer state over the mesh
@@ -229,6 +239,7 @@ class Trainer:
     # -- train -------------------------------------------------------------
     def training_step(self, x, targets=None) -> Dict[str, Any]:
         """One optimization step on a batch; returns logged metrics."""
+        self._sync_model()
         if not isinstance(targets, list):
             targets = [targets]
         if self.mesh is not None:
@@ -277,29 +288,51 @@ class Trainer:
         ):
             backbone._set_frozen_bn_eval()
 
+    def _scan_carry(self):
+        """Split (model, optimizer) once and cache the device-side carry.
+
+        The split state is copied so the donated carry never aliases the
+        live module buffers; :meth:`_sync_model` writes the carry back.
+        """
+        if self._scan_state is None:
+            self.model.train()
+            self._apply_frozen_bn()
+            graphdef, state = nnx.split((self.model, self.optimizer))
+            state = jax.tree_util.tree_map(jnp.copy, state)
+            key = (self.ema_params is not None,)
+            if self._scan_runner is None or self._scan_key != key:
+                self._scan_runner = _make_scan_runner(graphdef, ema=key[0])
+                self._scan_key = key
+            self._scan_state = state
+        if self.ema_params is not None:
+            return (self._scan_state, self.ema_params, jnp.float32(self.ema_decay))
+        return self._scan_state
+
+    def _sync_model(self) -> None:
+        """Write the cached scan carry back into the live modules."""
+        if self._scan_state is not None:
+            nnx.update((self.model, self.optimizer), self._scan_state)
+            self._scan_state = None
+
     def training_steps_scanned(self, xs, targets_stacked) -> Any:
         """Run K optimizer steps in ONE device dispatch via ``lax.scan``.
 
         ``xs``: (K, B, H, W, C) stacked batches; ``targets_stacked``: the
         per-head targets pytree with a leading K axis.  Amortizes host
         dispatch latency — the standard TPU pattern for keeping the device
-        busy.  Returns the (K,) per-step losses.
+        busy.  Returns the per-step metrics dict (each value stacked to
+        (K,)), same keys as :meth:`training_step`.
         """
         if not isinstance(targets_stacked, list):
             targets_stacked = [targets_stacked]
-        self.model.train()
-        self._apply_frozen_bn()
+        carry = self._scan_carry()
+        carry, metrics = self._scan_runner(carry, xs, targets_stacked)
         if self.ema_params is not None:
-            carry, losses = _train_scan_ema(
-                ((self.model, self.optimizer), self.ema_params,
-                 jnp.float32(self.ema_decay)),
-                (xs, targets_stacked),
-            )
-            self.ema_params = carry[1]
+            self._scan_state, self.ema_params, _ = carry
         else:
-            _, losses = _train_scan((self.model, self.optimizer), (xs, targets_stacked))
+            self._scan_state = carry
         self.step += int(xs.shape[0])
-        return losses
+        return metrics
 
     def fit(
         self,
@@ -331,8 +364,18 @@ class Trainer:
                 stacked = jax.tree_util.tree_map(
                     lambda *vs: _jnp.stack([_jnp.asarray(v) for v in vs]), *tgts
                 )
-                losses = self.training_steps_scanned(xs, stacked)
-                metrics = {"trainer/loss": losses[-1]}
+                if (
+                    self.viz_logger is not None
+                    and self.viz_every
+                    and self.step % self.viz_every < k
+                ):
+                    self._sync_model()
+                    self._visualize(batches[0][0], tgts[0], prefix="train/")
+                scan_metrics = self.training_steps_scanned(xs, stacked)
+                metrics = {k_: v[-1] for k_, v in scan_metrics.items()}
+                metrics["trainer/learning_rate"] = self.schedule(self.step)
+                if self.logger is not None:
+                    self.logger({k_: float(v) for k_, v in metrics.items()}, self.step)
                 done += k
             else:
                 x, targets = next(it)
@@ -350,6 +393,7 @@ class Trainer:
 
     # -- validation ---------------------------------------------------------
     def validate(self, val_data) -> Dict[str, float]:
+        self._sync_model()
         self.model.eval()
         for head in self.model.heads:
             # host-side calibration hook (e.g. anomaly quantiles), mirroring
@@ -387,6 +431,7 @@ class Trainer:
 
     # -- pretraining protocol (anomaly head teacher calibration) ------------
     def pretrain(self, data) -> None:
+        self._sync_model()
         self.model.eval()
         states = [
             head.pretrain_init() if hasattr(head, "pretrain_init") else None
@@ -408,19 +453,23 @@ class Trainer:
         The reference lists EMA as an open TODO (lightning_module.py:17);
         here it's a first-class option (``ema_decay``)."""
         assert self.ema_params is not None
+        self._sync_model()
         nnx.update(self.model, self.ema_params)
 
     # -- inference -----------------------------------------------------------
     def predict(self, x):
+        self._sync_model()
         self.model.eval()
         return _predict(self.model, x)
 
     # -- state access (for checkpointing) ------------------------------------
     @property
     def params(self):
+        self._sync_model()
         return nnx.state(self.model, nnx.Param)
 
     def state_dict(self):
+        self._sync_model()
         return {
             "model": nnx.state(self.model).to_pure_dict(),
             "opt": nnx.state(self.optimizer).to_pure_dict(),
@@ -428,6 +477,8 @@ class Trainer:
         }
 
     def load_state_dict(self, state) -> None:
+        self._sync_model()
+        self._scan_runner = None  # loaded state may change array dtypes/shapes
         model_state = nnx.state(self.model)
         model_state.replace_by_pure_dict(state["model"])
         nnx.update(self.model, model_state)

@@ -222,7 +222,7 @@ def test_training_steps_scanned_matches_loop():
     t2 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
     xs = jnp.stack([x] * 3)
     ys = jnp.stack([y] * 3)
-    scan_losses = np.asarray(t2.training_steps_scanned(xs, ys))
+    scan_losses = np.asarray(t2.training_steps_scanned(xs, ys)["trainer/loss"])
     assert t2.step == 3
     # step 1 is bit-equivalent; later steps drift by float reassociation
     np.testing.assert_allclose(scan_losses[0], loop_losses[0], rtol=1e-5)

@@ -54,7 +54,7 @@ def stacked(seed):
 t0 = time.time()
 for chunk in range(30):
     xs, ts = stacked(chunk + 1)
-    losses = trainer.training_steps_scanned(xs, ts)
+    losses = trainer.training_steps_scanned(xs, ts)["trainer/loss"]
     if chunk % 5 == 0 or chunk == 29:
         print(f"steps {trainer.step}: loss {float(losses[-1]):.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
