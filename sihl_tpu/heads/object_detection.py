@@ -118,6 +118,22 @@ class ObjectDetection(Head):
             [x.reshape(b, -1, self.num_channels) for x in feats], axis=1
         )
 
+    def _mlp_outputs(self, x, mlps) -> List[jnp.ndarray]:
+        """Run several per-anchor MLPs over shared (B, A, C) features.
+
+        On TPU this is one fused Pallas pass (hidden activations stay in
+        VMEM, see ``ops/pallas/mlp.py``); elsewhere the plain module chain.
+        """
+        from sihl_tpu.ops import pallas as P
+
+        b, a, c = x.shape
+        x2 = x.reshape(b * a, c)
+        if P.use_fused_mlp() and P.fused_mlp_supported(x2, mlps):
+            outs = P.fused_mlps(x2, mlps)
+        else:
+            outs = [m(x2) for m in mlps]
+        return [o.reshape(b, a, -1) for o in outs]
+
     def get_saliency(self, inputs) -> jnp.ndarray:
         """Max location-probability over levels, upsampled to the bottom
         level's resolution (reference :70-81)."""
@@ -139,20 +155,23 @@ class ObjectDetection(Head):
         flat_feats = self.flat_features(inputs)
         offsets, scales = self.get_offsets_and_scales(inputs)
 
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = self._mlp_outputs(flat_feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         flat_feats = jnp.take_along_axis(flat_feats, loc_idxs[..., None], axis=1)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
 
-        class_logits = self.cls_head(flat_feats)
+        class_logits, box_out = self._mlp_outputs(
+            flat_feats, [self.cls_head, self.box_head]
+        )
         classes = jnp.argmax(class_logits, axis=2)
 
         offsets = offsets[loc_idxs]  # (B, I, 4)
         scales = scales[loc_idxs]
         box_preds = (
-            offsets + scales * jnp.exp(self.box_head(flat_feats).astype(jnp.float32))
+            offsets + scales * jnp.exp(box_out.astype(jnp.float32))
         ) * full_size
         return num_instances, scores, classes, box_preds
 
@@ -173,8 +192,11 @@ class ObjectDetection(Head):
 
         flat_feats = self.flat_features(inputs)
 
+        # location + iou heads, dense over all anchors — one fused pass
+        loc_out, iou_out = self._mlp_outputs(flat_feats, [self.loc_head, self.iou_head])
+
         # location loss (fp32)
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_target = (rel_iou == 1.0).astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)
         num_pos = jnp.sum(loc_target)
@@ -183,7 +205,7 @@ class ObjectDetection(Head):
         any_match = rel_iou.max() > 0.0
 
         # iou regression loss, dense over all anchors (:174-180)
-        iou_preds = self.iou_head(flat_feats)[..., 0].astype(jnp.float32)
+        iou_preds = iou_out[..., 0].astype(jnp.float32)
         rel_sum = jnp.maximum(jnp.sum(rel_iou), 1e-6)
         iou_loss = jnp.sum((iou_preds - rel_iou) ** 2) / rel_sum
 
@@ -195,12 +217,14 @@ class ObjectDetection(Head):
             jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None
         )
 
+        class_logits, box_out = self._mlp_outputs(
+            pos_feats, [self.cls_head, self.box_head]
+        )
+
         # box loss: CIoU between decoded positives and their gt (:186-197)
         pos_offsets = offsets[pos_idx]
         pos_scales = scales[pos_idx]
-        box_preds = pos_offsets + pos_scales * jnp.exp(
-            self.box_head(pos_feats).astype(jnp.float32)
-        )
+        box_preds = pos_offsets + pos_scales * jnp.exp(box_out.astype(jnp.float32))
         box_target = jnp.take_along_axis(
             boxes.astype(jnp.float32), pos_assign[..., None], axis=1
         ) / full_size
@@ -208,7 +232,6 @@ class ObjectDetection(Head):
         box_loss = jnp.sum(pos_w * box_ciou) / rel_sum
 
         # classification loss over positives, rel-IoU weighted (:199-208)
-        class_logits = self.cls_head(pos_feats)
         class_target = jnp.take_along_axis(classes, pos_assign, axis=1)
         class_ce = cross_entropy(class_logits, jnp.clip(class_target, 0, None))
         class_loss = jnp.sum(pos_w * class_ce) / rel_sum
