@@ -53,6 +53,7 @@ DENSENET_CONFIGS = {
     "densenet121": (32, 64, (6, 12, 24, 16)),
     "densenet161": (48, 96, (6, 12, 36, 24)),
     "densenet169": (32, 64, (6, 12, 32, 32)),
+    "densenet201": (32, 64, (6, 12, 48, 32)),
 }
 
 

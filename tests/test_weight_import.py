@@ -41,6 +41,61 @@ def synthetic_resnet18_state_dict(rng):
     return sd
 
 
+import pytest
+import jax
+
+from sihl_tpu.backbones import Backbone, _FEATURE_FACTORIES
+from sihl_tpu.backbones.torchvision_import import dump_state_dict
+
+
+# one representative per torchvision family + structurally distinct variants
+ROUNDTRIP_ARCHS = [
+    "resnet18",          # BasicBlock
+    "resnet50",          # Bottleneck + downsample
+    "efficientnet_b0",   # MBConv w/ SE, expand==1 first stage
+    "efficientnet_v2_s", # FusedMBConv stages
+    "mobilenet_v2",      # bare projection conv+bn tail
+    "mobilenet_v3_small",# SE + first block without expand
+    "mobilenet_v3_large",
+    "convnext_tiny",     # LN/Linear blocks + layer_scale
+    "densenet121",       # denseblock/denselayer naming
+    "shufflenet_v2_x0_5",# two-branch units
+    "mnasnet0_5",        # flat layers.{i} indexing
+]
+
+
+@pytest.mark.parametrize("name", ROUNDTRIP_ARCHS)
+def test_dump_load_roundtrip_all_families(name):
+    """dump_state_dict(A) -> load_state_dict(B) must make B's parameters
+    (and BN running stats) bitwise equal to A's."""
+    feat_a = _FEATURE_FACTORIES[name](name, input_channels=3, rngs=nnx.Rngs(0))
+    feat_b = _FEATURE_FACTORIES[name](name, input_channels=3, rngs=nnx.Rngs(1))
+
+    sd = dump_state_dict(feat_a, name)
+    assert len(sd) > 20
+    load_state_dict(feat_b, name, sd)  # raises on unconsumed keys
+
+    state_a = nnx.state(feat_a)
+    state_b = nnx.state(feat_b)
+    leaves_a = jax.tree_util.tree_leaves(state_a)
+    leaves_b = jax.tree_util.tree_leaves(state_b)
+    assert len(leaves_a) == len(leaves_b)
+    diff = [
+        i
+        for i, (a, b) in enumerate(zip(leaves_a, leaves_b))
+        if a.shape != b.shape or not np.array_equal(np.asarray(a), np.asarray(b))
+    ]
+    assert not diff, f"{len(diff)} param leaves differ after roundtrip"
+
+
+def test_load_rejects_layout_mismatch():
+    feat = _FEATURE_FACTORIES["mnasnet0_5"]("mnasnet0_5", input_channels=3, rngs=nnx.Rngs(0))
+    sd = dump_state_dict(feat, "mnasnet0_5")
+    sd["layers.99.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(RuntimeError, match="unconsumed"):
+        load_state_dict(feat, "mnasnet0_5", sd)
+
+
 def test_resnet18_state_dict_roundtrip():
     rng = np.random.RandomState(0)
     sd = synthetic_resnet18_state_dict(rng)
