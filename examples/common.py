@@ -61,12 +61,13 @@ def run(args, model_fn, data_fn, val_data_fn=None, data_config=None):
         args.backbone, pretrained=args.pretrained,
         frozen_levels=1 if args.pretrained else 0, rngs=rngs,
     )
+    # data first: real-dataset loaders may resolve task facts the model
+    # needs (e.g. the image-folder's class count)
+    data = data_fn(args)
     model, trainer_overrides = model_fn(backbone, rngs)
     trainer = build_trainer(model, args, **trainer_overrides)
     if data_config:
         trainer.data_config = data_config
-
-    data = data_fn(args)
     t0 = time.perf_counter()
     metrics = trainer.fit(data, num_steps=args.steps, log_every=max(args.steps // 5, 1))
     dt = time.perf_counter() - t0

@@ -22,6 +22,26 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # COCO-format directory: <data>/train images + annotations json
+        from pathlib import Path
+
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        root = Path(args.data)
+        ds = D.CocoDataset(
+            root / "train", root / "annotations" / "instances_train.json",
+            task="masks",
+        )
+        return D.batched_loader(
+            ds, args.batch_size, D.collate_instance_segmentation(MAX_TARGETS),
+            augment=A.train_pipeline(args.image_size),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size // 2
     for x in synthetic_images(args):

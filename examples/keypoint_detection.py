@@ -22,6 +22,37 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # COCO person-keypoints directory
+        from pathlib import Path
+
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        root = Path(args.data)
+        ds = D.CocoDataset(
+            root / "train",
+            root / "annotations" / "person_keypoints_train.json",
+            task="keypoints",
+        )
+
+        def collate(samples):
+            images = np.stack([s["image"] for s in samples]).astype(np.float32)
+            targets = pad_keypoint_targets(
+                [s.get("keypoints", np.zeros((0, NUM_KEYPOINTS, 2))) for s in samples],
+                [s.get("keypoint_visible", np.zeros((0, NUM_KEYPOINTS), bool))
+                 for s in samples],
+                MAX_TARGETS, NUM_KEYPOINTS,
+            )
+            return images, targets
+
+        return D.batched_loader(
+            ds, args.batch_size, collate, augment=A.train_pipeline(args.image_size)
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     for x in synthetic_images(args):

@@ -18,6 +18,22 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # class-per-subdirectory image folder (Stanford-Cars-style layout)
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        ds = D.ImageFolderDataset(args.data)
+        global NUM_CLASSES
+        NUM_CLASSES = len(ds.class_names)
+        return D.batched_loader(
+            ds, args.batch_size, D.collate_classification,
+            augment=A.train_pipeline(args.image_size),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     for x in synthetic_images(args):
         yield x, rng.randint(0, NUM_CLASSES, args.batch_size)

@@ -34,6 +34,39 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # real COCO-format directory: <data>/<split> images +
+        # <data>/annotations/instances_<split>.json (reference pipeline:
+        # flip/photometric/zoom-out/resize/crop-to-static, :174-200)
+        return coco_loader(args, split="train", train=True)
+    return _synthetic(args)
+
+
+def coco_loader(args, split: str, train: bool):
+    from pathlib import Path
+
+    from sihl_tpu.data import augment as A
+    from sihl_tpu.data import datasets as D
+
+    root = Path(args.data)
+    ann = root / "annotations" / f"instances_{split}.json"
+    ds = D.CocoDataset(root / split, ann, task="boxes")
+    pipe = (
+        A.train_pipeline(args.image_size)
+        if train
+        else A.eval_pipeline(args.image_size)
+    )
+    return D.batched_loader(
+        ds,
+        args.batch_size,
+        D.collate_detection(MAX_TARGETS),
+        augment=pipe,
+        shuffle=train,
+        epochs=None if train else 1,
+    )
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     for x in synthetic_images(args):
@@ -47,5 +80,11 @@ def data_fn(args):
         yield x, pad_detection_targets(classes, boxes, MAX_TARGETS)
 
 
+def val_data_fn(args):
+    if args.data:
+        return coco_loader(args, split="val", train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

@@ -20,6 +20,20 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # <data>/images + <data>/masks label-map pngs
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        ds = D.SegmentationFolderDataset(args.data)
+        return D.batched_loader(
+            ds, args.batch_size, D.collate_semantic_segmentation,
+            augment=A.train_pipeline(args.image_size),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     for x in synthetic_images(args):
