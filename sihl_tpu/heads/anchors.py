@@ -1,0 +1,82 @@
+"""Shared detection-family machinery (SURVEY.md §2.3, §7).
+
+All four detection-family heads (object / instance / keypoint / quad)
+build the same normalized cell-center anchor grid (reference
+``src/sihl/heads/object_detection.py:83-97``, duplicated at
+``instance_segmentation.py:90-104``, ``keypoint_detection.py:91-105``,
+level-id variant ``quadrilateral_detection.py:92-108``), flatten per-level
+1x1 laterals into one anchor list, and run per-anchor MLPs over it.  The
+reference duplicates this in every head; here it lives once.
+"""
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def _level_grid(feature) -> Tuple[jnp.ndarray, jnp.ndarray, float, float]:
+    """Normalized pixel-center coordinate vectors for one feature map."""
+    h, w = feature.shape[1:3]
+    y_min, x_min = 1.0 / h / 2.0, 1.0 / w / 2.0
+    ys = jnp.linspace(y_min, 1 - y_min, h, dtype=jnp.float32)
+    xs = jnp.linspace(x_min, 1 - x_min, w, dtype=jnp.float32)
+    xg = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+    yg = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+    return xg, yg, x_min, y_min
+
+
+def cell_anchors(inputs, levels) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized cell-center offsets (A, 4) and cell-box scales (A, 4)
+    over all ``levels`` (reference ``object_detection.py:83-97``)."""
+    offsets, scales = [], []
+    for level in levels:
+        xg, yg, x_min, y_min = _level_grid(inputs[level])
+        offsets.append(jnp.stack([xg, yg, xg, yg], axis=1))
+        cell = jnp.array([-x_min, -y_min, x_min, y_min], jnp.float32)
+        scales.append(jnp.broadcast_to(cell[None, :], (xg.shape[0], 4)))
+    return jnp.concatenate(offsets), jnp.concatenate(scales)
+
+
+def cell_centers_with_levels(inputs, levels) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quad-head variant (reference ``quadrilateral_detection.py:92-108``):
+    per-anchor cell centers tiled to the 4 vertices (A, 8) plus the anchor's
+    pyramid level id (A, 1)."""
+    rel_offsets, level_ids = [], []
+    for level in levels:
+        xg, yg, _, _ = _level_grid(inputs[level])
+        grid = jnp.stack([xg, yg], axis=1)
+        rel_offsets.append(jnp.tile(grid, (1, 4)))
+        level_ids.append(jnp.full((xg.shape[0], 1), level, jnp.float32))
+    return jnp.concatenate(rel_offsets), jnp.concatenate(level_ids)
+
+
+def flatten_laterals(inputs, levels, laterals, num_channels, extra=None):
+    """Apply per-level 1x1 laterals and flatten into one (B, A, C) anchor
+    list; ``extra`` is an optional broadcastable addend (the quad head's
+    global context)."""
+    feats = []
+    for level, lateral in zip(levels, laterals):
+        f = lateral(inputs[level])
+        if extra is not None:
+            f = f + extra
+        feats.append(f)
+    b = feats[0].shape[0]
+    return jnp.concatenate([x.reshape(b, -1, num_channels) for x in feats], axis=1)
+
+
+def run_mlps(x, mlps) -> List[jnp.ndarray]:
+    """Run several per-anchor MLPs over shared (B, A, C) features.
+
+    On TPU this is one fused Pallas pass per call — every MLP's weights
+    live in VMEM and hidden activations never touch HBM
+    (``ops/pallas/mlp.py``); elsewhere the plain module chain.
+    """
+    from sihl_tpu.ops import pallas as P
+
+    b, a, c = x.shape
+    x2 = x.reshape(b * a, c)
+    if P.use_fused_mlp() and P.fused_mlp_supported(x2, mlps):
+        outs = P.fused_mlps(x2, mlps)
+    else:
+        outs = [m(x2) for m in mlps]
+    return [o.reshape(b, a, -1) for o in outs]

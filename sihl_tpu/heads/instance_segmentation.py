@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from sihl_tpu.heads import anchors as anchor_lib
 from sihl_tpu.heads.base import Head
 from sihl_tpu.heads.object_detection import ObjectDetection
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
@@ -101,28 +102,13 @@ class InstanceSegmentation(Head):
             "masks": ("batch_size", max_instances, f"height/{scale}", f"width/{scale}"),
         }
 
-    # -- shared machinery --------------------------------------------------
+    # -- shared machinery (heads/anchors.py) -------------------------------
     def get_offsets_and_scales(self, inputs):
-        offsets, scales = [], []
-        for level in self.levels:
-            h, w = inputs[level].shape[1:3]
-            y_min, x_min = 1.0 / h / 2.0, 1.0 / w / 2.0
-            ys = jnp.linspace(y_min, 1 - y_min, h, dtype=jnp.float32)
-            xs = jnp.linspace(x_min, 1 - x_min, w, dtype=jnp.float32)
-            xg = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
-            yg = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
-            offsets.append(jnp.stack([xg, yg, xg, yg], axis=1))
-            cell = jnp.array([-x_min, -y_min, x_min, y_min], jnp.float32)
-            scales.append(jnp.broadcast_to(cell[None, :], (h * w, 4)))
-        return jnp.concatenate(offsets), jnp.concatenate(scales)
+        return anchor_lib.cell_anchors(inputs, self.levels)
 
     def flat_features(self, inputs):
-        feats = [
-            lateral(inputs[level]) for level, lateral in zip(self.levels, self.laterals)
-        ]
-        b = feats[0].shape[0]
-        return jnp.concatenate(
-            [x.reshape(b, -1, self.num_channels) for x in feats], axis=1
+        return anchor_lib.flatten_laterals(
+            inputs, self.levels, self.laterals, self.num_channels
         )
 
     def _split_dynamic_weights(self, dyn):
@@ -183,7 +169,8 @@ class InstanceSegmentation(Head):
     def __call__(self, inputs):
         batch = inputs[0].shape[0]
         flat_feats = self.flat_features(inputs)
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
@@ -195,10 +182,11 @@ class InstanceSegmentation(Head):
 
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
-        dyn = self.kernel_head(flat_feats)
+        class_logits, dyn = anchor_lib.run_mlps(
+            flat_feats, [self.cls_head, self.kernel_head]
+        )
         masks = jax.nn.sigmoid(self._decode_masks(mask_feats, grid, centers, dyn))
 
-        class_logits = self.cls_head(flat_feats)
         classes = jnp.argmax(class_logits, axis=2)
         if self.full_res_masks:
             b, i, h, w = masks.shape
@@ -226,7 +214,8 @@ class InstanceSegmentation(Head):
         )(boxes, valid)
 
         flat_feats = self.flat_features(inputs)
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_target = (rel_iou == 1.0).astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)
         loc_loss = jnp.sum(loc_bce) / jnp.maximum(jnp.sum(loc_target), 1.0)
@@ -244,7 +233,9 @@ class InstanceSegmentation(Head):
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
         centers = offsets[:, :2][pos_idx]  # (B, k, 2)
-        dyn = self.kernel_head(pos_feats)
+        class_logits, dyn = anchor_lib.run_mlps(
+            pos_feats, [self.cls_head, self.kernel_head]
+        )
         mask_logits = self._decode_masks(mask_feats, grid, centers, dyn)
         mask_preds = jax.nn.sigmoid(mask_logits)  # (B, k, h, w)
 
@@ -263,7 +254,6 @@ class InstanceSegmentation(Head):
         mask_loss = jnp.sum(pos_w * dice) / w_sum
 
         # classification loss
-        class_logits = self.cls_head(pos_feats)
         class_target = jnp.take_along_axis(jnp.clip(classes, 0, None), pos_assign, axis=1)
         class_ce = cross_entropy(class_logits, class_target)
         class_loss = jnp.sum(pos_w * class_ce) / w_sum

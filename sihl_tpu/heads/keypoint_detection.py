@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from sihl_tpu.heads import anchors as anchor_lib
 from sihl_tpu.heads.base import Head
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
@@ -91,28 +92,13 @@ class KeypointDetection(Head):
             "keypoints": ("batch_size", max_instances, num_keypoints, 2),
         }
 
-    # -- shared machinery (same layout as instance segmentation) ----------
+    # -- shared machinery (heads/anchors.py) -------------------------------
     def get_offsets_and_scales(self, inputs):
-        offsets, scales = [], []
-        for level in self.levels:
-            h, w = inputs[level].shape[1:3]
-            y_min, x_min = 1.0 / h / 2.0, 1.0 / w / 2.0
-            ys = jnp.linspace(y_min, 1 - y_min, h, dtype=jnp.float32)
-            xs = jnp.linspace(x_min, 1 - x_min, w, dtype=jnp.float32)
-            xg = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
-            yg = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
-            offsets.append(jnp.stack([xg, yg, xg, yg], axis=1))
-            cell = jnp.array([-x_min, -y_min, x_min, y_min], jnp.float32)
-            scales.append(jnp.broadcast_to(cell[None, :], (h * w, 4)))
-        return jnp.concatenate(offsets), jnp.concatenate(scales)
+        return anchor_lib.cell_anchors(inputs, self.levels)
 
     def flat_features(self, inputs):
-        feats = [
-            lateral(inputs[level]) for level, lateral in zip(self.levels, self.laterals)
-        ]
-        b = feats[0].shape[0]
-        return jnp.concatenate(
-            [x.reshape(b, -1, self.num_channels) for x in feats], axis=1
+        return anchor_lib.flatten_laterals(
+            inputs, self.levels, self.laterals, self.num_channels
         )
 
     def _mask_grid(self, inputs):
@@ -165,7 +151,8 @@ class KeypointDetection(Head):
     def __call__(self, inputs, output_heatmaps: bool = False):
         batch, full_h, full_w = inputs[0].shape[0], inputs[0].shape[1], inputs[0].shape[2]
         flat_feats = self.flat_features(inputs)
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
@@ -176,7 +163,9 @@ class KeypointDetection(Head):
         centers = offsets[:, :2][loc_idxs]
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
-        dyn = self.kernel_head(flat_feats)
+        presence_out, dyn = anchor_lib.run_mlps(
+            flat_feats, [self.presence_head, self.kernel_head]
+        )
         heatmaps = self._decode_heatmaps(mask_feats, grid, centers, dyn)
         b, i, mh, mw, k = heatmaps.shape
 
@@ -191,7 +180,7 @@ class KeypointDetection(Head):
         kpts_y = (kpts_y + 0.5) / mh * full_h
         kpts_x = (kpts_x + 0.5) / mw * full_w
         keypoints = jnp.stack([kpts_x, kpts_y], axis=3)
-        presence = jax.nn.sigmoid(self.presence_head(flat_feats).astype(jnp.float32))
+        presence = jax.nn.sigmoid(presence_out.astype(jnp.float32))
         return num_instances, scores, presence, keypoints
 
     def get_saliency(self, inputs):
@@ -240,7 +229,8 @@ class KeypointDetection(Head):
         )(boxes, valid)
 
         flat_feats = self.flat_features(inputs)
-        loc_logits = self.loc_head(flat_feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_target = (rel_iou == 1.0).astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)
         loc_loss = jnp.sum(loc_bce) / jnp.maximum(jnp.sum(loc_target), 1.0)
@@ -253,7 +243,10 @@ class KeypointDetection(Head):
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 
         # presence loss
-        presence_logits = self.presence_head(pos_feats).astype(jnp.float32)
+        presence_out, dyn = anchor_lib.run_mlps(
+            pos_feats, [self.presence_head, self.kernel_head]
+        )
+        presence_logits = presence_out.astype(jnp.float32)
         target_presence = jnp.take_along_axis(
             presence.astype(jnp.float32), pos_assign[..., None], axis=1
         )
@@ -264,7 +257,6 @@ class KeypointDetection(Head):
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
         centers = offsets[:, :2][pos_idx]
-        dyn = self.kernel_head(pos_feats)
         heat_logits = self._decode_heatmaps(mask_feats, grid, centers, dyn)
         b_, i_, mh, mw, nk = heat_logits.shape
 

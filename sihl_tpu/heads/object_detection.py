@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from sihl_tpu.heads import anchors
 from sihl_tpu.heads.base import Head
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
@@ -92,47 +93,17 @@ class ObjectDetection(Head):
             "boxes": ("batch_size", max_instances, 4),
         }
 
-    # -- anchors -----------------------------------------------------------
+    # -- anchors (shared machinery, heads/anchors.py) ----------------------
     def get_offsets_and_scales(self, inputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Normalized cell-center offsets (A, 4) and cell-box scales (A, 4)
-        over all levels (reference :83-97)."""
-        offsets, scales = [], []
-        for level in self.levels:
-            h, w = inputs[level].shape[1:3]
-            y_min, x_min = 1.0 / h / 2.0, 1.0 / w / 2.0
-            ys = jnp.linspace(y_min, 1 - y_min, h, dtype=jnp.float32)
-            xs = jnp.linspace(x_min, 1 - x_min, w, dtype=jnp.float32)
-            xg = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
-            yg = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
-            offsets.append(jnp.stack([xg, yg, xg, yg], axis=1))
-            cell = jnp.array([-x_min, -y_min, x_min, y_min], jnp.float32)
-            scales.append(jnp.broadcast_to(cell[None, :], (h * w, 4)))
-        return jnp.concatenate(offsets), jnp.concatenate(scales)
+        return anchors.cell_anchors(inputs, self.levels)
 
     def flat_features(self, inputs) -> jnp.ndarray:
-        feats = [
-            lateral(inputs[level]) for level, lateral in zip(self.levels, self.laterals)
-        ]
-        b = feats[0].shape[0]
-        return jnp.concatenate(
-            [x.reshape(b, -1, self.num_channels) for x in feats], axis=1
+        return anchors.flatten_laterals(
+            inputs, self.levels, self.laterals, self.num_channels
         )
 
     def _mlp_outputs(self, x, mlps) -> List[jnp.ndarray]:
-        """Run several per-anchor MLPs over shared (B, A, C) features.
-
-        On TPU this is one fused Pallas pass (hidden activations stay in
-        VMEM, see ``ops/pallas/mlp.py``); elsewhere the plain module chain.
-        """
-        from sihl_tpu.ops import pallas as P
-
-        b, a, c = x.shape
-        x2 = x.reshape(b * a, c)
-        if P.use_fused_mlp() and P.fused_mlp_supported(x2, mlps):
-            outs = P.fused_mlps(x2, mlps)
-        else:
-            outs = [m(x2) for m in mlps]
-        return [o.reshape(b, a, -1) for o in outs]
+        return anchors.run_mlps(x, mlps)
 
     def get_saliency(self, inputs) -> jnp.ndarray:
         """Max location-probability over levels, upsampled to the bottom

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from sihl_tpu.heads import anchors as anchor_lib
 from sihl_tpu.heads.base import Head
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
@@ -110,32 +111,16 @@ class QuadrilateralDetection(Head):
             "quads": ("batch_size", max_instances, 4, 2),
         }
 
-    # -- geometry ----------------------------------------------------------
+    # -- geometry (shared machinery, heads/anchors.py) ---------------------
     def get_offsets_and_levels(self, inputs):
-        rel_offsets, levels = [], []
-        for level in self.levels:
-            h, w = inputs[level].shape[1:3]
-            y_min, x_min = 1.0 / h / 2.0, 1.0 / w / 2.0
-            ys = jnp.linspace(y_min, 1 - y_min, h, dtype=jnp.float32)
-            xs = jnp.linspace(x_min, 1 - x_min, w, dtype=jnp.float32)
-            xg = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
-            yg = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
-            grid = jnp.stack([xg, yg], axis=1)  # (hw, 2)
-            rel_offsets.append(jnp.tile(grid, (1, 4)))  # (hw, 8)
-            levels.append(jnp.full((h * w, 1), level, jnp.float32))
-        return jnp.concatenate(rel_offsets), jnp.concatenate(levels)
+        return anchor_lib.cell_centers_with_levels(inputs, self.levels)
 
     def get_features(self, inputs):
         ctx = jnp.mean(
             self.global_context(inputs[self.top_level]), axis=(1, 2), keepdims=True
         )
-        feats = [
-            lateral(inputs[level]) + ctx
-            for lateral, level in zip(self.laterals, self.levels)
-        ]
-        b = feats[0].shape[0]
-        return jnp.concatenate(
-            [x.reshape(b, -1, self.num_channels) for x in feats], axis=1
+        return anchor_lib.flatten_laterals(
+            inputs, self.levels, self.laterals, self.num_channels, extra=ctx
         )
 
     @staticmethod
@@ -168,19 +153,23 @@ class QuadrilateralDetection(Head):
         feats = self.get_features(inputs)
         rel_offsets, levels = self.get_offsets_and_levels(inputs)
 
-        loc_logits = self.loc_head(feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
         feats = jnp.take_along_axis(feats, loc_idxs[..., None], axis=1)
 
+        quad_out, class_logits = anchor_lib.run_mlps(
+            feats, [self.quad_head, self.class_head]
+        )
         offsets = rel_offsets[loc_idxs]  # (B, I, 8)
-        quad_preds = jnp.tanh(self.quad_head(feats).astype(jnp.float32)) + offsets
+        quad_preds = jnp.tanh(quad_out.astype(jnp.float32)) + offsets
         full = jnp.array([full_w, full_h] * 4, jnp.float32)
         quad_preds = (quad_preds * full).reshape(batch, num_slots, 4, 2)
 
-        classes = jnp.argmax(self.class_head(feats), axis=2)
+        classes = jnp.argmax(class_logits, axis=2)
         return num_instances, scores, classes, quad_preds
 
     # -- training ----------------------------------------------------------
@@ -211,12 +200,14 @@ class QuadrilateralDetection(Head):
         pos_assign = jnp.clip(jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None)
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 
+        quad_out, class_logits = anchor_lib.run_mlps(
+            pos_feats, [self.quad_head, self.class_head]
+        )
+
         # quad L1 loss (reference :180-196)
         pos_offsets = rel_offsets[pos_idx]  # (B, k, 8)
         quad_preds = jnp.clip(
-            jnp.tanh(self.quad_head(pos_feats).astype(jnp.float32)) + pos_offsets,
-            0.0,
-            1.0,
+            jnp.tanh(quad_out.astype(jnp.float32)) + pos_offsets, 0.0, 1.0
         ).reshape(batch, k, 4, 2)
         quad_target = jnp.take_along_axis(
             quads.astype(jnp.float32), pos_assign[..., None, None], axis=1
@@ -228,7 +219,7 @@ class QuadrilateralDetection(Head):
         quad_loss = 10.0 * jnp.sum(pos_w * l1) / w_sum
 
         # focal classification loss (reference :198-208)
-        class_logits = self.class_head(pos_feats).astype(jnp.float32)
+        class_logits = class_logits.astype(jnp.float32)
         one_hot = jax.nn.one_hot(
             jnp.take_along_axis(jnp.clip(classes, 0, None), pos_assign, axis=1),
             self.num_classes,
@@ -237,7 +228,8 @@ class QuadrilateralDetection(Head):
         class_loss = 10.0 * jnp.sum(pos_w * focal) / w_sum
 
         # location loss (reference :210-216)
-        loc_logits = self.loc_head(feats)[..., 0].astype(jnp.float32)
+        (loc_out,) = anchor_lib.run_mlps(feats, [self.loc_head])
+        loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)
         loc_loss = jnp.sum(loc_bce) / jnp.maximum(jnp.sum(loc_target), 1e-6)
 
