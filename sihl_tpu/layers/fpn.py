@@ -1,9 +1,18 @@
-"""Feature Pyramid Network neck (reference ``src/sihl/layers/fpn.py``).
+"""Feature Pyramid Network neck.
 
-Pyramid contract: replaces levels [bottom_level, top_level] with fused
-``out_channels`` maps; passes other levels through untouched.  Fusion is
-1x1 laterals + nearest 2x upsample + add, with extra stride-2 convs
-synthesizing levels beyond the backbone's top.
+Behavioral contract (reference ``src/sihl/layers/fpn.py:11-55``): replaces
+pyramid levels [bottom_level, top_level] with ``out_channels``-wide fused
+maps and passes every other level through untouched.  Per level: a 1x1
+projection; top-down merging by nearest 2x upsample + add, where each
+upper map is refined by a 1x1 conv *before* it is upsampled (and that
+refined map is what the level ultimately emits); levels beyond the
+backbone's top are synthesized with stride-2 convs from the highest
+merged map; every emitted level passes through a final 3x3 smoothing
+conv.
+
+TPU notes: NHWC throughout; the upsample+add pair is a single fused VMEM
+pass (``ops/pallas/fusion.fused_upsample_add``) so the upsampled
+intermediate never hits HBM.
 """
 
 from typing import List, Optional
@@ -31,38 +40,63 @@ class FPN(nnx.Module):
     ):
         rngs = _rngs(rngs)
         assert 0 < bottom_level < top_level
-        self.in_levels = range(bottom_level, min(top_level + 1, len(in_channels)))
-        self.bottom_level, self.top_level = bottom_level, top_level
-        levels = range(bottom_level, top_level + 1)
-        self.out_channels = list(in_channels)
-        self.out_channels[levels.start : levels.stop] = [out_channels for _ in levels]
+        self.bottom_level = bottom_level
+        self.top_level = top_level
+        # highest level the backbone actually provides; anything above is
+        # synthesized by stride-2 convs
+        self.highest_in = min(top_level, len(in_channels) - 1)
+        self.out_channels = (
+            list(in_channels[:bottom_level])
+            + [out_channels] * (top_level - bottom_level + 1)
+            + list(in_channels[top_level + 1 :])
+        )
 
-        conv = lambda cin, cout, k=3, stride=1: StandardConvNormAct(
-            cin, cout, k, stride=stride, norm=norm, act=act, rngs=rngs
+        def conv(cin, cout, k=3, stride=1):
+            return StandardConvNormAct(
+                cin, cout, k, stride=stride, norm=norm, act=act, rngs=rngs
+            )
+
+        num_in = self.highest_in - bottom_level + 1
+        # 1x1 projections, one per backbone level (bottom..highest_in)
+        self.project = nnx.List(
+            conv(in_channels[bottom_level + i], out_channels, 1)
+            for i in range(num_in)
         )
-        self.input_projections = nnx.List(
-            conv(in_channels[level], out_channels, 1) for level in self.in_levels
-        )
-        self.up_convs = nnx.List(conv(out_channels, out_channels, 1) for _ in self.in_levels[:-1])
-        self.extra_downscalers = nnx.List(
+        # pre-upsample refinement convs, one per level ABOVE the bottom
+        self.refine = nnx.List(conv(out_channels, out_channels, 1) for _ in range(num_in - 1))
+        # stride-2 synthesizers for levels above the backbone top
+        self.synthesize = nnx.List(
             conv(out_channels, out_channels, 3, stride=2)
-            for _ in range(top_level - len(in_channels) + 1)
+            for _ in range(top_level - self.highest_in)
         )
-        self.out_convs = nnx.List(conv(out_channels, out_channels) for _ in levels)
+        # final 3x3 smoothing, one per emitted level (bottom..top)
+        self.smooth = nnx.List(
+            conv(out_channels, out_channels)
+            for _ in range(top_level - bottom_level + 1)
+        )
 
-    def __call__(self, inputs: List[jnp.ndarray]) -> List[jnp.ndarray]:
-        xs = inputs[self.in_levels.start : self.in_levels.stop]
-        xs = [project(x) for project, x in zip(self.input_projections, xs)]
+    def _index(self, level: int) -> int:
+        return level - self.bottom_level
 
-        # top-down pathway: refine-then-upsample-add, highest level first
-        top_down = [xs[-1]]
-        for i, conv in enumerate(self.up_convs):
-            top_down[i] = conv(top_down[i])
-            top_down.append(fused_upsample_add(top_down[i], xs[-(i + 2)]))
+    def __call__(self, features: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        bot, top_in = self.bottom_level, self.highest_in
+        merged = {
+            lvl: self.project[self._index(lvl)](features[lvl])
+            for lvl in range(bot, top_in + 1)
+        }
 
-        top_down = top_down[::-1]
-        for down in self.extra_downscalers:
-            top_down.append(down(top_down[-1]))
+        # top-down: refine the upper map, emit it, and fold it into the
+        # level below with one fused upsample+add pass
+        for lvl in range(top_in, bot, -1):
+            refined = self.refine[self._index(lvl) - 1](merged[lvl])
+            merged[lvl] = refined
+            merged[lvl - 1] = fused_upsample_add(refined, merged[lvl - 1])
 
-        top_down = [conv(feat) for conv, feat in zip(self.out_convs, top_down)]
-        return inputs[: self.bottom_level] + top_down + inputs[self.top_level + 1 :]
+        for lvl in range(top_in + 1, self.top_level + 1):
+            merged[lvl] = self.synthesize[lvl - top_in - 1](merged[lvl - 1])
+
+        fused = [
+            self.smooth[self._index(lvl)](merged[lvl])
+            for lvl in range(bot, self.top_level + 1)
+        ]
+        return list(features[:bot]) + fused + list(features[self.top_level + 1 :])
