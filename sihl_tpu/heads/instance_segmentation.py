@@ -35,7 +35,7 @@ from sihl_tpu.heads.object_detection import ObjectDetection
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
 from sihl_tpu.ops.boxes import bbox_matching, masks_to_boxes
-from sihl_tpu.ops.image import interpolate
+from sihl_tpu.ops.image import interpolate, packbits_last
 from sihl_tpu.ops.losses import binary_cross_entropy_with_logits, cross_entropy
 from sihl_tpu.training import metrics as M
 from sihl_tpu.utils.coco_map import MeanAveragePrecisionAccumulator
@@ -275,22 +275,33 @@ class InstanceSegmentation(Head):
         num_instances, scores, pred_classes, pred_masks = self(inputs)
         loss, _ = self.training_step(inputs, classes, masks)
         state = {"loss": M.mean_update(state["loss"], loss)}
+        # binary masks cross device->host bit-packed (1/8th the transfer;
+        # VERDICT r1 "validation transfer diet")
         aux = {
             "scores": scores,
             "pred_classes": pred_classes,
-            "pred_masks": pred_masks > 0.5,
+            "pred_masks_bits": packbits_last(pred_masks > 0.5),
+            "pred_masks_width": pred_masks.shape[-1],
             "gt_classes": classes,
-            "gt_masks": masks > 0,
+            "gt_masks_bits": packbits_last(masks > 0),
+            "gt_masks_width": masks.shape[-1],
         }
         return state, loss, aux
 
     def validation_end(self, state, collected=()) -> Dict[str, float]:
+        import numpy as np
+
         out = {"loss": float(M.mean_compute(state["loss"]))}
         acc = MeanAveragePrecisionAccumulator(iou_type="segm")
         for aux in collected:
+            pred = np.unpackbits(
+                np.asarray(aux["pred_masks_bits"]), axis=-1, bitorder="little"
+            )[..., : int(aux["pred_masks_width"])]
+            gt = np.unpackbits(
+                np.asarray(aux["gt_masks_bits"]), axis=-1, bitorder="little"
+            )[..., : int(aux["gt_masks_width"])]
             acc.update(
-                aux["pred_masks"], aux["pred_classes"], aux["scores"],
-                aux["gt_masks"], aux["gt_classes"],
+                pred, aux["pred_classes"], aux["scores"], gt, aux["gt_classes"]
             )
         out.update(acc.compute())
         return out

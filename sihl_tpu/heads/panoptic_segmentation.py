@@ -38,7 +38,7 @@ from sihl_tpu.heads.base import Head
 from sihl_tpu.heads.instance_segmentation import InstanceSegmentation
 from sihl_tpu.heads.semantic_segmentation import SemanticSegmentation
 from sihl_tpu.layers.convblocks import _rngs
-from sihl_tpu.ops.image import interpolate
+from sihl_tpu.ops.image import interpolate, packbits_last
 from sihl_tpu.ops.losses import cross_entropy
 from sihl_tpu.training import metrics as M
 from sihl_tpu.utils.panoptic_quality import PanopticQuality
@@ -210,7 +210,9 @@ class PanopticSegmentation(Head):
             "id_map": id_map,
             "gt_semantic": sem_small,
             "gt_classes": classes,
-            "gt_masks": masks > 0,
+            # bit-packed device->host transfer (1/8th the bytes)
+            "gt_masks_bits": packbits_last(masks > 0),
+            "gt_masks_width": masks.shape[-1],
         }
         return state, loss, aux
 
@@ -226,7 +228,9 @@ class PanopticSegmentation(Head):
             id_map = np.asarray(aux["id_map"])
             gt_sem = np.asarray(aux["gt_semantic"])
             gt_classes = np.asarray(aux["gt_classes"])
-            gt_masks = np.asarray(aux["gt_masks"])
+            gt_masks = np.unpackbits(
+                np.asarray(aux["gt_masks_bits"]), axis=-1, bitorder="little"
+            )[..., : int(aux["gt_masks_width"])]
             for b in range(class_map.shape[0]):
                 gt_ids = np.zeros_like(id_map[b])
                 h, w = gt_ids.shape

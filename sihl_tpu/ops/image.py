@@ -170,3 +170,17 @@ def gaussian_blur(
         x.astype(jnp.float32), [(0, 0), (half, half), (half, half), (0, 0)]
     )
     return _depthwise_conv(xp, kernel).astype(x.dtype)
+
+
+def packbits_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack a boolean array's last axis into uint8 bits (little-endian bit
+    order) ON DEVICE, so binary masks cross the device->host boundary at
+    1/8th the bytes during validation.  Host-side inverse:
+    ``np.unpackbits(arr, axis=-1, bitorder="little")[..., :w]``."""
+    w = x.shape[-1]
+    pad = (-w) % 8
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    x = x.reshape(x.shape[:-1] + ((w + pad) // 8, 8)).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
