@@ -78,6 +78,30 @@ def _register_lazy_factories():
             _FEATURE_FACTORIES[name] = make_mnasnet_features
     except ImportError:
         pass
+    try:
+        from sihl_tpu.backbones.dla import DLA_CONFIGS, make_dla_features
+
+        for name in DLA_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_dla_features
+    except ImportError:
+        pass
+    try:
+        from sihl_tpu.backbones.hrnet import HRNET_CONFIGS, make_hrnet_features
+
+        for name in HRNET_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_hrnet_features
+    except ImportError:
+        pass
+    try:
+        from sihl_tpu.backbones.mobilenetv4 import (
+            MOBILENETV4_CONFIGS,
+            make_mobilenetv4_features,
+        )
+
+        for name in MOBILENETV4_CONFIGS:
+            _FEATURE_FACTORIES[name] = make_mobilenetv4_features
+    except ImportError:
+        pass
 
 
 _register_lazy_factories()
@@ -172,6 +196,22 @@ _TIMM_ALIASES = {
     "convnextv2_tiny": "convnextv2_tiny",
     "convnextv2_base": "convnextv2_base",
     "convnextv2_large": "convnextv2_large",
+    "dla34": "dla34",
+    "dla60": "dla60",
+    "dla102": "dla102",
+    "dla169": "dla169",
+    "hrnet_w18": "hrnet_w18",
+    "hrnet_w30": "hrnet_w30",
+    "hrnet_w32": "hrnet_w32",
+    "hrnet_w40": "hrnet_w40",
+    "hrnet_w44": "hrnet_w44",
+    "hrnet_w48": "hrnet_w48",
+    "hrnet_w64": "hrnet_w64",
+    "mobilenetv4_conv_small": "mobilenetv4_conv_small",
+    "mobilenetv4_conv_medium": "mobilenetv4_conv_medium",
+    "mobilenetv4_conv_large": "mobilenetv4_conv_large",
+    "mobilenetv4_hybrid_medium": "mobilenetv4_hybrid_medium",
+    "mobilenetv4_hybrid_large": "mobilenetv4_hybrid_large",
 }
 
 

@@ -23,8 +23,15 @@ from sihl_tpu import Backbone, TimmBackbone
         "mobilenet_v3_small",
         "convnext_tiny",
         "densenet121",
+        "densenet201",
         "shufflenet_v2_x1_0",
         "mnasnet1_0",
+        "dla34",
+        "dla60",
+        "hrnet_w18",
+        "mobilenetv4_conv_small",
+        "mobilenetv4_conv_medium",
+        "mobilenetv4_hybrid_medium",
     ],
 )
 def test_pyramid_contract(name):
