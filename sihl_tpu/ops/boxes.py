@@ -159,16 +159,14 @@ def bbox_matching(
     # the threshold are all claimed (measure-zero for real IoUs), and
     # zero-IoU anchors are never claimed — both deviations carry zero loss
     # weight downstream (rel_iou == 0).
+    # ties at the threshold are all claimed (measure-zero for real IoUs) and
+    # zero-IoU anchors never are — both deviations carry zero loss weight.
+    # On TPU the k-1 masked-max passes run fused in one VMEM kernel
+    # (ops/pallas/topk.py); elsewhere as plain XLA passes.
+    from sihl_tpu.ops.pallas.topk import row_best_and_kth
+
     work = ious.T  # (G, A)
-    best_iou_per_gt = jnp.max(work, axis=1)  # (G,)
-    cur = work
-    for _ in range(k - 1):
-        m = jnp.max(cur, axis=1, keepdims=True)
-        # mask all ties at the running max: plain max+compare passes are much
-        # cheaper than index-tracking argmax on the VPU, and value ties only
-        # widen the claimed set (zero-weight for the duplicates downstream)
-        cur = jnp.where(cur >= m, -1.0, cur)
-    kth = jnp.max(cur, axis=1)  # (G,) value of the k-th largest entry
+    best_iou_per_gt, kth = row_best_and_kth(work, k)
     is_topk = (work >= kth[:, None]) & (work > 0.0)  # (G, A)
 
     masked_ious = jnp.where(is_topk.T, ious, 0.0)  # (A, G)

@@ -342,12 +342,16 @@ class Trainer:
         val_every: Optional[int] = None,
         log_every: int = 50,
         steps_per_dispatch: int = 1,
+        checkpoint_every: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
     ) -> Dict[str, float]:
         """Step-driven fit loop over an (x, targets) iterator.
 
         ``steps_per_dispatch > 1`` stacks that many batches and runs them
         in one scanned device dispatch (see ``training_steps_scanned``) —
-        the production TPU configuration.
+        the production TPU configuration.  ``checkpoint_every`` saves the
+        full train state to ``checkpoint_dir/step_N`` on that cadence
+        (both dispatch modes), plus a final save when fitting ends.
         """
         import jax.numpy as _jnp
 
@@ -389,7 +393,23 @@ class Trainer:
                 t0 = time.perf_counter()
             if val_data is not None and val_every and self.step % val_every < steps_per_dispatch:
                 last_metrics.update(self.validate(val_data))
+            if (
+                checkpoint_every
+                and checkpoint_dir
+                and self.step % checkpoint_every < steps_per_dispatch
+            ):
+                self._save_checkpoint(checkpoint_dir)
+        if checkpoint_every and checkpoint_dir:
+            self._save_checkpoint(checkpoint_dir)
         return last_metrics
+
+    def _save_checkpoint(self, checkpoint_dir: str) -> None:
+        import os
+
+        from sihl_tpu.training.checkpoint import save_checkpoint
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        save_checkpoint(self, os.path.join(checkpoint_dir, f"step_{self.step}"))
 
     # -- validation ---------------------------------------------------------
     def validate(self, val_data) -> Dict[str, float]:

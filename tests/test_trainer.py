@@ -277,3 +277,22 @@ def test_remat_training():
     for _ in range(3):
         m = trainer.training_step(x, y)
     assert float(m["trainer/loss"]) < l0
+
+
+def test_fit_checkpoint_every(tmp_path):
+    """fit(checkpoint_every=...) saves restorable full-state checkpoints
+    from the scanned dispatch path."""
+    import os
+
+    from sihl_tpu.training.checkpoint import restore_checkpoint
+
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2})
+    trainer.fit(
+        fake_batches(10), num_steps=4, steps_per_dispatch=2,
+        checkpoint_every=2, checkpoint_dir=str(tmp_path),
+    )
+    saved = sorted(os.listdir(tmp_path))
+    assert any(d.startswith("step_") for d in saved), saved
+    step_before = trainer.step
+    restore_checkpoint(trainer, str(tmp_path / f"step_{step_before}"))
+    assert trainer.step == step_before
