@@ -90,11 +90,12 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
         out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _pick_tile(m: int) -> int:
-    """Largest convenient row tile dividing m (0 if none): the backward
-    kernel holds ~5 tile-sized activation stashes in VMEM, so stay <=512."""
-    for tile in (512, 400, 256, 176, 128, 80, 64, 32, 16):
-        if m % tile == 0:
+def _pick_tile(m: int, cap: int = 512) -> int:
+    """Largest convenient row tile dividing m (0 if none).  The backward
+    kernel holds ~5 tile-sized activation stashes in VMEM so it stays
+    <=512; the forward only streams one hidden buffer and can go wider."""
+    for tile in (2480, 2048, 1600, 1024, 880, 512, 496, 400, 256, 176, 128, 80, 64, 32, 16):
+        if tile <= cap and m % tile == 0:
             return tile
     return 0
 
@@ -106,7 +107,7 @@ def _pad_rows(m: int) -> int:
 
 def _fwd_pallas(x, heads, interpret: bool):
     m, d = x.shape
-    tile = _pick_tile(m)
+    tile = _pick_tile(m, cap=2480)
     num_heads = len(heads)
     num_layers = heads[0][0].shape[0]
     grid = (m // tile,)
