@@ -132,25 +132,16 @@ class InstanceSegmentation(Head):
         mask_feats: (B, H, W, c); grid: (H, W, 2) normalized coords;
         centers: (B, I, 2) instance anchor centers; dyn_weights: (B, I, P).
         Returns mask logits (B, I, H, W), computed in fp32.
-        """
-        mask_feats = mask_feats.astype(jnp.float32)
-        dyn_weights = dyn_weights.astype(jnp.float32)
-        w1, b1, w2, b2, w3, b3 = self._split_dynamic_weights(dyn_weights)
-        c = self.mask_num_channels
-        w1f, w1c = w1[..., :c, :], w1[..., c:, :]  # (B,I,c,c), (B,I,2,c)
 
-        # layer 1, concat decomposed: f@W1f + g@W1c - center@W1c + b1
-        x = (
-            jnp.einsum("bhwc,bicd->bihwd", mask_feats, w1f)
-            + jnp.einsum("hwe,bied->bihwd", grid, w1c)
-            - jnp.einsum("bie,bied->bid", centers, w1c)[:, :, None, None, :]
-            + b1[:, :, None, None, :]
-        )
-        x = nnx.silu(x)
-        x = jnp.einsum("bihwc,bicd->bihwd", x, w2) + b2[:, :, None, None, :]
-        x = nnx.silu(x)
-        x = jnp.einsum("bihwc,bicd->bihwd", x, w3) + b3[:, :, None, None, :]
-        return x[..., 0]
+        On TPU this runs as one fused Pallas pass with instances packed
+        into the MXU lane dimension (``ops/pallas/dynconv.py``); elsewhere
+        as the reference einsum chain.
+        """
+        from sihl_tpu.ops.pallas.dynconv import dynamic_pointwise_decode
+
+        return dynamic_pointwise_decode(
+            mask_feats, grid, centers, dyn_weights, self.mask_num_channels, 1
+        )[..., 0]
 
     def _mask_grid(self, inputs):
         h, w = inputs[self.mask_level].shape[1:3]

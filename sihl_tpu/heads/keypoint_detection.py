@@ -130,22 +130,16 @@ class KeypointDetection(Head):
         return w1, b1, w2, b2, w3, b3
 
     def _decode_heatmaps(self, mask_feats, grid, centers, dyn_weights):
-        """(B, I, H, W, K) heatmap logits in fp32."""
-        mask_feats = mask_feats.astype(jnp.float32)
-        dyn_weights = dyn_weights.astype(jnp.float32)
-        w1, b1, w2, b2, w3, b3 = self._split_dynamic_weights(dyn_weights)
-        c = self.mask_num_channels
-        w1f, w1c = w1[..., :c, :], w1[..., c:, :]
-        x = (
-            jnp.einsum("bhwc,bicd->bihwd", mask_feats, w1f)
-            + jnp.einsum("hwe,bied->bihwd", grid, w1c)
-            - jnp.einsum("bie,bied->bid", centers, w1c)[:, :, None, None, :]
-            + b1[:, :, None, None, :]
+        """(B, I, H, W, K) heatmap logits in fp32.
+
+        Fused Pallas pass on TPU (``ops/pallas/dynconv.py``), reference
+        einsum chain elsewhere."""
+        from sihl_tpu.ops.pallas.dynconv import dynamic_pointwise_decode
+
+        return dynamic_pointwise_decode(
+            mask_feats, grid, centers, dyn_weights,
+            self.mask_num_channels, self.num_keypoints,
         )
-        x = nnx.silu(x)
-        x = jnp.einsum("bihwc,bicd->bihwd", x, w2) + b2[:, :, None, None, :]
-        x = nnx.silu(x)
-        return jnp.einsum("bihwc,bick->bihwk", x, w3) + b3[:, :, None, None, :]
 
     # -- inference ---------------------------------------------------------
     def __call__(self, inputs, output_heatmaps: bool = False):
