@@ -99,3 +99,32 @@ def test_frozen_levels_paths():
 
     backbone.frozen_levels = -1
     assert "layer4" in backbone.frozen_attr_names()
+
+
+@pytest.mark.parametrize(
+    "name,expect_lvl1",
+    [
+        ("dla34", "base"),
+        ("hrnet_w18", "conv1"),
+        ("mobilenetv4_conv_small", "stem"),
+    ],
+)
+def test_frozen_levels_new_families(name, expect_lvl1):
+    """level_modules lists for the round-2 families address real modules
+    and cover every level exactly once."""
+    backbone = Backbone(name, rngs=nnx.Rngs(0))
+    feats = backbone.features
+    assert len(feats.level_modules) == 5
+    for level in feats.level_modules:
+        for entry in level:
+            if isinstance(entry, tuple):
+                attr, idx = entry
+                assert len(getattr(feats, attr)) > idx, entry
+            else:
+                assert hasattr(feats, entry), entry
+    backbone.frozen_levels = 1
+    frozen = backbone.frozen_attr_names()
+    assert expect_lvl1 in [e if isinstance(e, str) else e[0] for e in frozen]
+    backbone.frozen_levels = -1
+    all_names = backbone.frozen_attr_names()
+    assert len(all_names) >= 5
