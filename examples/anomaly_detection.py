@@ -20,6 +20,12 @@ def main():
     trainer = build_trainer(SihlModel(backbone, None, [head]), args)
 
     def data():
+        if args.data:
+            from common import image_folder_batches
+
+            for x, _ in image_folder_batches(args)[1]:
+                yield x, None
+            return
         for x in synthetic_images(args):
             yield x, None
 

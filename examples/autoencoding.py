@@ -12,6 +12,19 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        from common import image_folder_batches
+
+        def collate(samples):
+            import numpy as np
+            x = np.stack([s_["image"] for s_ in samples]).astype("float32")
+            return x, x
+
+        return image_folder_batches(args, collate=collate)[1]
+    return _synthetic(args)
+
+
+def _synthetic(args):
     for x in synthetic_images(args):
         yield x, x  # target = input
 

@@ -89,3 +89,20 @@ def synthetic_images(args, seed=0):
         yield rng.rand(args.batch_size, args.image_size, args.image_size, 3).astype(
             np.float32
         )
+
+
+def image_folder_batches(args, collate=None, augment=None, train=True):
+    """Shared ``--data DIR`` loader: class-per-subdirectory image folder
+    (Stanford-Cars / MVTec style)."""
+    from sihl_tpu.data import augment as A
+    from sihl_tpu.data import datasets as D
+
+    ds = D.ImageFolderDataset(args.data)
+    pipe = augment or (
+        A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
+    )
+    loader = D.batched_loader(
+        ds, args.batch_size, collate or D.collate_classification,
+        augment=pipe, shuffle=train,
+    )
+    return ds, loader

@@ -18,6 +18,43 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # <data>/images + <data>/depths pngs (same stem); depth values
+        # scaled by 1/1000 (millimeter pngs, NYU-V2 style); 0 = invalid
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        class _DepthFolder(D.SegmentationFolderDataset):
+            def __init__(self, root):
+                from pathlib import Path
+                root = Path(root)
+                self.pairs = []
+                depths = {p.stem: p for p in (root / "depths").iterdir()}
+                for p in sorted((root / "images").iterdir()):
+                    if p.stem in depths:
+                        self.pairs.append((p, depths[p.stem]))
+
+            def __getitem__(self, idx):
+                from PIL import Image
+                img_path, depth_path = self.pairs[idx]
+                with Image.open(depth_path) as d:
+                    depth = np.asarray(d).astype(np.float32) / 1000.0
+                return {"image": D.load_image(img_path), "dense_map": depth,
+                        "dense_pad": 0.0}
+
+        def collate(samples):
+            x = np.stack([s_["image"] for s_ in samples]).astype(np.float32)
+            depth = np.stack([s_["dense_map"] for s_ in samples])
+            return x, {"targets": depth, "masks": depth > 0}
+
+        return D.batched_loader(
+            _DepthFolder(args.data), args.batch_size, collate,
+            augment=A.train_pipeline(args.image_size, distort=False),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     for x in synthetic_images(args):

@@ -16,6 +16,17 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        from common import image_folder_batches
+
+        ds, loader = image_folder_batches(args)
+        global NUM_IDENTITIES
+        NUM_IDENTITIES = len(ds.class_names)
+        return loader
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     for x in synthetic_images(args):
         yield x, rng.randint(0, NUM_IDENTITIES, args.batch_size)

@@ -14,6 +14,24 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # two independent augmentations of the same image (Barlow Twins)
+        from common import image_folder_batches
+        from sihl_tpu.data import augment as A
+
+        pipe_a = A.train_pipeline(args.image_size, seed=1)
+        pipe_b = A.train_pipeline(args.image_size, seed=2)
+
+        def collate(samples):
+            v1 = np.stack([pipe_a(s_)["image"] for s_ in samples]).astype(np.float32)
+            v2 = np.stack([pipe_b(s_)["image"] for s_ in samples]).astype(np.float32)
+            return v1, v2
+
+        return image_folder_batches(args, collate=collate, augment=lambda s_: s_)[1]
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     for x in synthetic_images(args):
         # second view: brightness/noise distortion of the same image

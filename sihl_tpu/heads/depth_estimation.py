@@ -85,6 +85,15 @@ class DepthEstimation(SemanticSegmentation):
         """targets: (B, H, W) absolute depths; masks: (B, H, W) validity."""
         targets = self.normalize(targets.astype(jnp.float32))
         masks_f = masks.astype(jnp.float32)
+        # Valid pixels outside the declared [lower, upper] bounds map
+        # outside (0, 1] and the log loss NaNs (latent in the reference
+        # too, which assumes datasets respect the bounds) — clamp them to
+        # the bounds. Invalid pixels can hold arbitrary values (0 depth)
+        # and NaN * 0 would still poison the masked sums; the reference
+        # never sees them because it boolean-indexes valid pixels —
+        # substitute a safe constant.
+        targets = jnp.clip(targets, EPS, 1.0)
+        targets = jnp.where(masks_f > 0, targets, 1.0)
 
         bin_centers = self.get_bin_centers(inputs)
         depth = self.get_depth_map(inputs, bin_centers)  # (B, h, w)

@@ -123,3 +123,27 @@ class TestAutoencoding:
         state, _, _ = head.validation_step(state, inputs, inputs[0])
         metrics = head.validation_end(state)
         assert set(metrics) == {"loss", "mean_absolute_error", "mean_squared_error"}
+
+
+def test_depth_masked_invalid_pixels_no_nan():
+    """Zero-depth (invalid) pixels must not poison the masked losses —
+    the reference boolean-indexes valid pixels and never sees them."""
+    import numpy as np
+
+    from sihl_tpu.heads import DepthEstimation
+
+    rngs = nnx.Rngs(0)
+    head = DepthEstimation(
+        [3, 8, 16, 16, 16, 16], lower_bound=0.1, upper_bound=10.0, rngs=rngs
+    )
+    feats = [jnp.zeros((2, 32, 32, 3))] + [
+        jnp.asarray(np.random.RandomState(0).rand(2, 32 >> l, 32 >> l, c), jnp.float32)
+        for l, c in [(1, 8), (2, 16), (3, 16), (4, 16), (5, 16)]
+    ]
+    targets = np.random.RandomState(1).rand(2, 32, 32).astype(np.float32) * 5
+    masks = np.random.RandomState(2).rand(2, 32, 32) > 0.3
+    targets[~masks] = 0.0  # invalid pixels hold 0 (NYU-style)
+    loss, metrics = head.training_step(
+        feats, jnp.asarray(targets), jnp.asarray(masks)
+    )
+    assert np.isfinite(float(loss)), float(loss)
