@@ -9,6 +9,7 @@ from sihl_tpu.heads import PanopticSegmentation
 from sihl_tpu.layers import FPN
 
 STUFF, THINGS = 4, 6
+IGNORE = -100
 MAX_TARGETS = 20
 
 
@@ -22,6 +23,70 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # <data>/images/* + <data>/semantic/* + <data>/instances/* pngs
+        # (the reference example's 2-plane target format,
+        # examples/panoptic_segmentation.py:377-386)
+        from pathlib import Path
+
+        from PIL import Image
+
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+        from sihl_tpu.heads.panoptic_segmentation import panoptic_targets_from_maps
+
+        root = Path(args.data)
+        sem = {p_.stem: p_ for p_ in (root / "semantic").iterdir()}
+        ins = {p_.stem: p_ for p_ in (root / "instances").iterdir()}
+        items = [
+            (p_, sem[p_.stem], ins[p_.stem])
+            for p_ in sorted((root / "images").iterdir())
+            if p_.stem in sem and p_.stem in ins
+        ]
+
+        class _PanopticDataset:
+            def __len__(self):
+                return len(items)
+
+            def __getitem__(self, idx):
+                img_p, sem_p, ins_p = items[idx]
+                with Image.open(sem_p) as m:
+                    semantic = np.asarray(m).astype(np.int32)
+                with Image.open(ins_p) as m:
+                    ids = np.asarray(m).astype(np.int32)
+                # 2-channel dense map rides through the augmentations
+                return {
+                    "image": D.load_image(img_p),
+                    "dense_map": np.stack([semantic, ids], axis=-1),
+                    "dense_pad": IGNORE,
+                }
+
+        def collate(samples):
+            x = np.stack([s_["image"] for s_ in samples]).astype(np.float32)
+            sem_b, cls_b, msk_b = [], [], []
+            for s_ in samples:
+                d = s_["dense_map"]
+                semantic, ids = d[..., 0], d[..., 1]
+                classes, masks = panoptic_targets_from_maps(
+                    semantic, ids, STUFF, MAX_TARGETS, ignore_index=IGNORE
+                )
+                sem_b.append(semantic)
+                cls_b.append(classes)
+                msk_b.append(masks)
+            return x, {
+                "semantic": np.stack(sem_b).astype(np.int32),
+                "classes": np.stack(cls_b).astype(np.int32),
+                "masks": np.stack(msk_b).astype(np.float32),
+            }
+
+        return D.batched_loader(
+            _PanopticDataset(), args.batch_size, collate,
+            augment=A.train_pipeline(args.image_size, distort=False),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     ms = s // 2

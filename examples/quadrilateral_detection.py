@@ -21,6 +21,70 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # COCO-format directory; each annotation's segmentation polygon
+        # becomes a quad (4-vertex polygons directly, otherwise the
+        # min-area rectangle)
+        from pathlib import Path
+
+        import cv2
+
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+        from sihl_tpu.data import pad_detection_targets
+
+        root = Path(args.data)
+        base = D.CocoDataset(
+            root / "train", root / "annotations" / "instances_train.json",
+            task="boxes",
+        )
+
+        class _QuadDataset:
+            def __len__(self):
+                return len(base.items)
+
+            def __getitem__(self, idx):
+                info, anns = base.items[idx]
+                sample = {"image": D.load_image(base.image_dir / info["file_name"])}
+                quads, classes = [], []
+                for a in anns:
+                    segm = a.get("segmentation")
+                    if isinstance(segm, list) and segm:
+                        pts = np.asarray(segm[0], np.float32).reshape(-1, 2)
+                        if len(pts) == 4:
+                            quads.append(pts)
+                        else:
+                            quads.append(cv2.boxPoints(cv2.minAreaRect(pts)))
+                    else:
+                        x0, y0, w, h = a["bbox"]
+                        quads.append(np.asarray(
+                            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]],
+                            np.float32,
+                        ))
+                    classes.append(base.cat_index[a["category_id"]])
+                sample["quads"] = np.asarray(quads, np.float32).reshape(-1, 4, 2)
+                sample["classes"] = np.asarray(classes, np.int32)
+                return sample
+
+        def collate(samples):
+            x = np.stack([s_["image"] for s_ in samples]).astype(np.float32)
+            classes = np.full((len(samples), MAX_TARGETS), -1, np.int32)
+            quads = np.zeros((len(samples), MAX_TARGETS, 4, 2), np.float32)
+            for i, s_ in enumerate(samples):
+                n = min(len(s_.get("classes", [])), MAX_TARGETS)
+                if n:
+                    classes[i, :n] = s_["classes"][:n]
+                    quads[i, :n] = s_["quads"][:n]
+            return x, {"classes": classes, "quads": quads}
+
+        return D.batched_loader(
+            _QuadDataset(), args.batch_size, collate,
+            augment=A.train_pipeline(args.image_size),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     s = args.image_size
     for x in synthetic_images(args):

@@ -20,6 +20,54 @@ def model_fn(backbone, rngs):
 
 
 def data_fn(args):
+    if args.data:
+        # <data>/images/* + <data>/labels.txt lines "<filename>\t<text>";
+        # the character vocabulary is built from the labels
+        from pathlib import Path
+
+        from sihl_tpu.data import augment as A
+        from sihl_tpu.data import datasets as D
+
+        root = Path(args.data)
+        labels = {}
+        for line in (root / "labels.txt").read_text().splitlines():
+            if "\t" in line:
+                name, text = line.split("\t", 1)
+                labels[name] = text
+        vocab = sorted({ch for t in labels.values() for ch in t})
+        char_to_id = {ch: i for i, ch in enumerate(vocab)}
+        global NUM_TOKENS
+        NUM_TOKENS = max(len(vocab), 1)
+
+        class _TextDataset:
+            def __init__(self):
+                self.items = [
+                    (root / "images" / n, t) for n, t in sorted(labels.items())
+                    if (root / "images" / n).exists()
+                ]
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, idx):
+                path, text = self.items[idx]
+                ids = [char_to_id[ch] for ch in text][:MAX_LEN]
+                return {"image": D.load_image(path), "text_ids": ids}
+
+        def collate(samples):
+            x = np.stack([s_["image"] for s_ in samples]).astype(np.float32)
+            return x, pad_text_targets(
+                [s_["text_ids"] for s_ in samples], MAX_LEN, NUM_TOKENS
+            )
+
+        return D.batched_loader(
+            _TextDataset(), args.batch_size, collate,
+            augment=A.train_pipeline(args.image_size, zoom=None),
+        )
+    return _synthetic(args)
+
+
+def _synthetic(args):
     rng = np.random.RandomState(0)
     for x in synthetic_images(args):
         texts = [rng.randint(0, NUM_TOKENS, rng.randint(1, MAX_LEN))
