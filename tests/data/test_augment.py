@@ -117,3 +117,24 @@ def test_train_pipeline_static_output():
         assert out["image"].shape == (32, 32, 3)
         if len(out["boxes"]):
             assert (out["boxes"] >= 0).all() and (out["boxes"] <= 32).all()
+
+
+def test_quads_follow_transforms():
+    s = {
+        "image": np.zeros((8, 10, 3), np.float32),
+        "quads": np.array([[[1, 2], [4, 2], [4, 5], [1, 5]]], np.float32),
+        "classes": np.array([0], np.int32),
+    }
+    out = A.horizontal_flip(s)
+    # x -> W - x: [1,4,4,1] -> [9,6,6,9]
+    np.testing.assert_allclose(out["quads"][0, :, 0], [9, 6, 6, 9])
+    np.testing.assert_allclose(out["quads"][0, :, 1], [2, 2, 5, 5])
+
+    out = A.resize(s, 4, max_size=5)  # scale = 4/8 = 0.5 (cap 5/10 = 0.5 too)
+    np.testing.assert_allclose(out["quads"][0], np.asarray(s["quads"][0]) * 0.5)
+
+    rng = np.random.RandomState(1)
+    out = A.zoom_out(s, rng, side_range=(1.5, 1.5))
+    left = out["quads"][0, 0, 0] - 1.0
+    top = out["quads"][0, 0, 1] - 2.0
+    np.testing.assert_allclose(out["quads"][0], s["quads"][0] + [left, top])
