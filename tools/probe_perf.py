@@ -2,6 +2,16 @@
 
 Usage: python tools/probe_perf.py [section ...]
 Sections: peak, fwd, bwd, step, head. Default: all.
+
+CAVEATS (learned the hard way, see STATUS.md):
+* single-dispatch timings through the tunnel are ~40 ms RTT-dominated —
+  amortize inside one dispatch (``lax.fori_loop`` with a carry-dependent
+  input perturbation to defeat loop-invariant hoisting);
+* consume EVERY output you want timed: XLA dead-code-eliminates unused
+  gradient subtrees, silently under-reporting fwd+bwd;
+* for per-op truth, use ``jax.profiler.trace`` and parse the device
+  events (pid 3) out of ``vm.trace.json.gz`` — they carry
+  ``hlo_category``, ``bytes_accessed`` and the full HLO ``long_name``.
 """
 
 import sys
