@@ -11,7 +11,7 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, None, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         from common import image_folder_batches
 
@@ -20,7 +20,7 @@ def data_fn(args):
             x = np.stack([s_["image"] for s_ in samples]).astype("float32")
             return x, x
 
-        return image_folder_batches(args, collate=collate)[1]
+        return image_folder_batches(args, collate=collate, train=train)[1]
     return _synthetic(args)
 
 
@@ -29,5 +29,13 @@ def _synthetic(args):
         yield x, x  # target = input
 
 
+def val_data_fn(args):
+    # real data: held-out split through the eval pipeline; synthetic: one
+    # fixed non-augmented batch
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

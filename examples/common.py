@@ -91,18 +91,30 @@ def synthetic_images(args, seed=0):
         )
 
 
+def split_root(data, train: bool):
+    """Prefer a held-out ``<data>/train`` / ``<data>/val`` split directory
+    when present; fall back to the flat directory (validation then runs
+    the eval pipeline over the same images — still non-augmented)."""
+    from pathlib import Path
+
+    root = Path(data)
+    sub = root / ("train" if train else "val")
+    return sub if sub.is_dir() else root
+
+
 def image_folder_batches(args, collate=None, augment=None, train=True):
     """Shared ``--data DIR`` loader: class-per-subdirectory image folder
-    (Stanford-Cars / MVTec style)."""
+    (Stanford-Cars / MVTec style).  ``train=False`` reads the held-out
+    split (when present) through the eval pipeline, one epoch, unshuffled."""
     from sihl_tpu.data import augment as A
     from sihl_tpu.data import datasets as D
 
-    ds = D.ImageFolderDataset(args.data)
+    ds = D.ImageFolderDataset(split_root(args.data, train))
     pipe = augment or (
         A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
     )
     loader = D.batched_loader(
         ds, args.batch_size, collate or D.collate_classification,
-        augment=pipe, shuffle=train,
+        augment=pipe, shuffle=train, epochs=None if train else 1,
     )
     return ds, loader

@@ -17,10 +17,11 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # <data>/images + <data>/depths pngs (same stem); depth values
         # scaled by 1/1000 (millimeter pngs, NYU-V2 style); 0 = invalid
+        from common import split_root
         from sihl_tpu.data import augment as A
         from sihl_tpu.data import datasets as D
 
@@ -47,9 +48,14 @@ def data_fn(args):
             depth = np.stack([s_["dense_map"] for s_ in samples])
             return x, {"targets": depth, "masks": depth > 0}
 
+        pipe = (
+            A.train_pipeline(args.image_size, distort=False)
+            if train
+            else A.eval_pipeline(args.image_size)
+        )
         return D.batched_loader(
-            _DepthFolder(args.data), args.batch_size, collate,
-            augment=A.train_pipeline(args.image_size, distort=False),
+            _DepthFolder(split_root(args.data, train)), args.batch_size, collate,
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -63,5 +69,11 @@ def _synthetic(args):
         yield x, {"targets": depth, "masks": masks}
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

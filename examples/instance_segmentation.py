@@ -21,22 +21,24 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
-        # COCO-format directory: <data>/train images + annotations json
+        # COCO-format directory: <data>/{train,val} images + annotations json
         from pathlib import Path
 
         from sihl_tpu.data import augment as A
         from sihl_tpu.data import datasets as D
 
         root = Path(args.data)
+        split = "train" if train else "val"
         ds = D.CocoDataset(
-            root / "train", root / "annotations" / "instances_train.json",
+            root / split, root / "annotations" / f"instances_{split}.json",
             task="masks",
         )
+        pipe = A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
         return D.batched_loader(
             ds, args.batch_size, D.collate_instance_segmentation(MAX_TARGETS),
-            augment=A.train_pipeline(args.image_size),
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -57,5 +59,11 @@ def _synthetic(args):
         yield x, pad_instance_targets(classes, masks, MAX_TARGETS, mask_size=(s, s))
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

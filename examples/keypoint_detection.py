@@ -21,7 +21,7 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # COCO person-keypoints directory
         from pathlib import Path
@@ -30,9 +30,10 @@ def data_fn(args):
         from sihl_tpu.data import datasets as D
 
         root = Path(args.data)
+        split = "train" if train else "val"
         ds = D.CocoDataset(
-            root / "train",
-            root / "annotations" / "person_keypoints_train.json",
+            root / split,
+            root / "annotations" / f"person_keypoints_{split}.json",
             task="keypoints",
         )
 
@@ -46,8 +47,10 @@ def data_fn(args):
             )
             return images, targets
 
+        pipe = A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
         return D.batched_loader(
-            ds, args.batch_size, collate, augment=A.train_pipeline(args.image_size)
+            ds, args.batch_size, collate, augment=pipe,
+            shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -66,5 +69,11 @@ def _synthetic(args):
         yield x, pad_keypoint_targets(kpts, pres, MAX_TARGETS, NUM_KEYPOINTS)
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

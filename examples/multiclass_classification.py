@@ -17,19 +17,15 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, None, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # class-per-subdirectory image folder (Stanford-Cars-style layout)
-        from sihl_tpu.data import augment as A
-        from sihl_tpu.data import datasets as D
+        from common import image_folder_batches
 
-        ds = D.ImageFolderDataset(args.data)
+        ds, loader = image_folder_batches(args, train=train)
         global NUM_CLASSES
         NUM_CLASSES = len(ds.class_names)
-        return D.batched_loader(
-            ds, args.batch_size, D.collate_classification,
-            augment=A.train_pipeline(args.image_size),
-        )
+        return loader
     return _synthetic(args)
 
 
@@ -39,6 +35,12 @@ def _synthetic(args):
         yield x, rng.randint(0, NUM_CLASSES, args.batch_size)
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn,
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn,
         data_config=[{"categories": [str(i) for i in range(NUM_CLASSES)]}])

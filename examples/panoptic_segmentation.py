@@ -22,20 +22,19 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # <data>/images/* + <data>/semantic/* + <data>/instances/* pngs
         # (the reference example's 2-plane target format,
         # examples/panoptic_segmentation.py:377-386)
-        from pathlib import Path
-
         from PIL import Image
 
+        from common import split_root
         from sihl_tpu.data import augment as A
         from sihl_tpu.data import datasets as D
         from sihl_tpu.heads.panoptic_segmentation import panoptic_targets_from_maps
 
-        root = Path(args.data)
+        root = split_root(args.data, train)
         sem = {p_.stem: p_ for p_ in (root / "semantic").iterdir()}
         ins = {p_.stem: p_ for p_ in (root / "instances").iterdir()}
         items = [
@@ -79,9 +78,14 @@ def data_fn(args):
                 "masks": np.stack(msk_b).astype(np.float32),
             }
 
+        pipe = (
+            A.train_pipeline(args.image_size, distort=False)
+            if train
+            else A.eval_pipeline(args.image_size)
+        )
         return D.batched_loader(
             _PanopticDataset(), args.batch_size, collate,
-            augment=A.train_pipeline(args.image_size, distort=False),
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -105,5 +109,11 @@ def _synthetic(args):
         yield x, {"semantic": semantic, "classes": classes, "masks": masks}
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

@@ -20,7 +20,7 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # COCO-format directory; each annotation's segmentation polygon
         # becomes a quad (4-vertex polygons directly, otherwise the
@@ -34,8 +34,9 @@ def data_fn(args):
         from sihl_tpu.data import pad_detection_targets
 
         root = Path(args.data)
+        split = "train" if train else "val"
         base = D.CocoDataset(
-            root / "train", root / "annotations" / "instances_train.json",
+            root / split, root / "annotations" / f"instances_{split}.json",
             task="boxes",
         )
 
@@ -77,9 +78,10 @@ def data_fn(args):
                     quads[i, :n] = s_["quads"][:n]
             return x, {"classes": classes, "quads": quads}
 
+        pipe = A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
         return D.batched_loader(
             _QuadDataset(), args.batch_size, collate,
-            augment=A.train_pipeline(args.image_size),
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -103,5 +105,11 @@ def _synthetic(args):
         yield x, {"classes": classes, "quads": quads}
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

@@ -19,16 +19,18 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, neck, [head]), {}
 
 
-def data_fn(args):
+def data_fn(args, train=True):
     if args.data:
         # <data>/images + <data>/masks label-map pngs
+        from common import split_root
         from sihl_tpu.data import augment as A
         from sihl_tpu.data import datasets as D
 
-        ds = D.SegmentationFolderDataset(args.data)
+        ds = D.SegmentationFolderDataset(split_root(args.data, train))
+        pipe = A.train_pipeline(args.image_size) if train else A.eval_pipeline(args.image_size)
         return D.batched_loader(
             ds, args.batch_size, D.collate_semantic_segmentation,
-            augment=A.train_pipeline(args.image_size),
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -40,5 +42,11 @@ def _synthetic(args):
         yield x, rng.randint(0, NUM_CLASSES, (args.batch_size, s, s))
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

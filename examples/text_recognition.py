@@ -19,22 +19,28 @@ def model_fn(backbone, rngs):
     return SihlModel(backbone, None, [head]), {}
 
 
-def data_fn(args):
+def _read_labels(root):
+    labels = {}
+    for line in (root / "labels.txt").read_text().splitlines():
+        if "\t" in line:
+            name, text = line.split("\t", 1)
+            labels[name] = text
+    return labels
+
+
+def data_fn(args, train=True):
     if args.data:
         # <data>/images/* + <data>/labels.txt lines "<filename>\t<text>";
-        # the character vocabulary is built from the labels
-        from pathlib import Path
-
+        # the character vocabulary is built from the TRAIN split's labels
+        # (so train/val token ids agree); val-only characters are dropped
+        from common import split_root
         from sihl_tpu.data import augment as A
         from sihl_tpu.data import datasets as D
 
-        root = Path(args.data)
-        labels = {}
-        for line in (root / "labels.txt").read_text().splitlines():
-            if "\t" in line:
-                name, text = line.split("\t", 1)
-                labels[name] = text
-        vocab = sorted({ch for t in labels.values() for ch in t})
+        root = split_root(args.data, train)
+        labels = _read_labels(root)
+        vocab_labels = labels if train else _read_labels(split_root(args.data, True))
+        vocab = sorted({ch for t in vocab_labels.values() for ch in t})
         char_to_id = {ch: i for i, ch in enumerate(vocab)}
         global NUM_TOKENS
         NUM_TOKENS = max(len(vocab), 1)
@@ -51,7 +57,7 @@ def data_fn(args):
 
             def __getitem__(self, idx):
                 path, text = self.items[idx]
-                ids = [char_to_id[ch] for ch in text][:MAX_LEN]
+                ids = [char_to_id[ch] for ch in text if ch in char_to_id][:MAX_LEN]
                 return {"image": D.load_image(path), "text_ids": ids}
 
         def collate(samples):
@@ -60,9 +66,14 @@ def data_fn(args):
                 [s_["text_ids"] for s_ in samples], MAX_LEN, NUM_TOKENS
             )
 
+        pipe = (
+            A.train_pipeline(args.image_size, zoom=None)
+            if train
+            else A.eval_pipeline(args.image_size)
+        )
         return D.batched_loader(
             _TextDataset(), args.batch_size, collate,
-            augment=A.train_pipeline(args.image_size, zoom=None),
+            augment=pipe, shuffle=train, epochs=None if train else 1,
         )
     return _synthetic(args)
 
@@ -75,5 +86,11 @@ def _synthetic(args):
         yield x, pad_text_targets(texts, MAX_LEN, NUM_TOKENS)
 
 
+def val_data_fn(args):
+    if args.data:
+        return data_fn(args, train=False)
+    return [next(_synthetic(args))]
+
+
 if __name__ == "__main__":
-    run(parse_args(), model_fn, data_fn, val_data_fn=lambda a: [next(data_fn(a))])
+    run(parse_args(), model_fn, data_fn, val_data_fn=val_data_fn)

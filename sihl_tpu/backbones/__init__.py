@@ -165,8 +165,12 @@ _TIMM_ALIASES = {
     "efficientnet_b4": "efficientnet_b4",
     "efficientnet_b5": "efficientnet_b5",
     "mobilenetv2_100": "mobilenet_v2",
+    "mobilenetv2_050": "mobilenet_v2_050",
+    "mobilenetv2_140": "mobilenet_v2_140",
     "mobilenetv3_large_100": "mobilenet_v3_large",
     "mobilenetv3_small_100": "mobilenet_v3_small",
+    "mobilenetv3_small_050": "mobilenet_v3_small_050",
+    "mobilenetv3_small_075": "mobilenet_v3_small_075",
     "convnext_tiny": "convnext_tiny",
     "convnext_small": "convnext_small",
     "convnext_base": "convnext_base",

@@ -119,6 +119,19 @@ MOBILENET_CONFIGS = {
     "mobilenet_v2": _V2_CFG,
     "mobilenet_v3_large": _V3_LARGE,
     "mobilenet_v3_small": _V3_SMALL,
+    # timm width variants (timm_backbone.py:24-30): channels scaled by the
+    # multiplier through make_divisible(., 8), torchvision/timm semantics
+    "mobilenet_v2_050": _V2_CFG,
+    "mobilenet_v2_140": _V2_CFG,
+    "mobilenet_v3_small_050": _V3_SMALL,
+    "mobilenet_v3_small_075": _V3_SMALL,
+}
+
+_WIDTH_MULT = {
+    "mobilenet_v2_050": 0.5,
+    "mobilenet_v2_140": 1.4,
+    "mobilenet_v3_small_050": 0.5,
+    "mobilenet_v3_small_075": 0.75,
 }
 
 
@@ -127,43 +140,51 @@ class MobileNetFeatures(nnx.Module):
         rngs = _rngs(rngs)
         self.name = name
         self.blocks = nnx.List([])
-        if name == "mobilenet_v2":
-            self.stem = _ConvBNAct(input_channels, 32, 3, stride=2, rngs=rngs)
-            cin = 32
+        width = _WIDTH_MULT.get(name, 1.0)
+        adjust = (lambda c: _round8(c * width)) if width != 1.0 else (lambda c: c)
+        if name.startswith("mobilenet_v2"):
+            stem_c = adjust(32)
+            self.stem = _ConvBNAct(input_channels, stem_c, 3, stride=2, rngs=rngs)
+            cin = stem_c
             for t, c, n, s in _V2_CFG:
+                c = adjust(c)
                 for i in range(n):
                     self.blocks.append(
                         InvertedResidualV2(cin, c, s if i == 0 else 1, t, rngs=rngs)
                     )
                     cin = c
-            self.head = _ConvBNAct(cin, 1280, 1, rngs=rngs)
+            # torchvision: last_channel = make_divisible(1280 * max(1, w))
+            head_c = _round8(1280 * max(1.0, width))
+            self.head = _ConvBNAct(cin, head_c, 1, rngs=rngs)
             # torchvision nodes features.{1,3,6,13,18}: blocks are features 1..17
             self._emit_blocks = [0, 2, 5, 12]  # 0-based block indices
             self._emit_head = True
-            self.feature_channels = [16, 24, 32, 96, 1280]
+            self.feature_channels = [adjust(16), adjust(24), adjust(32), adjust(96), head_c]
         else:
             cfg = MOBILENET_CONFIGS[name]
-            stem_c = 16
+            stem_c = adjust(16)
             self.stem = _ConvBNAct(input_channels, stem_c, 3, stride=2, act="HS", rngs=rngs)
             cin = stem_c
             for k, exp, c, se, act, s in cfg:
+                exp, c = adjust(exp), adjust(c)
                 self.blocks.append(
                     InvertedResidualV3(cin, c, k, exp, se, act, s, rngs=rngs)
                 )
                 cin = c
-            head_c = 960 if name.endswith("large") else 576
+            # torchvision: lastconv_output = 6 * lastconv_input (=> 960/576 at w=1)
+            head_c = 6 * cin
             self.head = _ConvBNAct(cin, head_c, 1, act="HS", rngs=rngs)
-            if name.endswith("large"):
+            if "large" in name:
                 # features.{1,3,6,12,16}: blocks are features 1..15
                 self._emit_blocks = [0, 2, 5, 11]
                 self._emit_stem = False
-                self.feature_channels = [16, 24, 40, 112, head_c]
+                self.feature_channels = [adjust(16), adjust(24), adjust(40), adjust(112), head_c]
             else:
                 # features.{0,1,3,8,12}: level1 = stem output; features.8
                 # is block7 (48 ch, stride 16)
                 self._emit_blocks = [0, 2, 7]
                 self._emit_stem = True
-                self.feature_channels = [16, 16, 24, 48, head_c]
+                self.feature_channels = [stem_c, adjust(16), adjust(24), adjust(48), head_c]
             self._emit_head = True
         if not hasattr(self, "_emit_stem"):
             self._emit_stem = False

@@ -258,9 +258,20 @@ def load_state_dict(features, name: str, sd, input_channels: int = 3) -> None:
     walker, skip_prefixes = _family(name)
     used = set()
 
-    def take(key):
+    def take(key, expect=None):
         used.add(key)
-        return sd[key]
+        if key not in sd:
+            raise RuntimeError(
+                f"weight import for {name}: missing tensor {key!r} "
+                "(torchvision layout mismatch?)"
+            )
+        t = sd[key]
+        if expect is not None and tuple(t.shape) != tuple(expect):
+            raise RuntimeError(
+                f"weight import for {name}: {key!r} has shape {tuple(t.shape)}, "
+                f"native module expects {tuple(expect)}"
+            )
+        return t
 
     for kind, dst, key in walker(features):
         first = kind.endswith("_first")
@@ -271,22 +282,32 @@ def load_state_dict(features, name: str, sd, input_channels: int = 3) -> None:
                 if kind == "convb":
                     used.add(f"{key}.bias")
                 continue
-            dst.kernel.value = _to_hwio(take(f"{key}.weight"))
+            kh, kw, ci, co = dst.kernel.value.shape
+            dst.kernel.value = _to_hwio(take(f"{key}.weight", (co, ci, kh, kw)))
             if kind == "convb":
-                dst.bias.value = take(f"{key}.bias")
+                dst.bias.value = take(f"{key}.bias", (co,))
         elif kind == "bn":
-            dst.scale.value = take(f"{key}.weight")
-            dst.bias.value = take(f"{key}.bias")
-            dst.mean.value = take(f"{key}.running_mean")
-            dst.var.value = take(f"{key}.running_var")
+            c = dst.scale.value.shape
+            dst.scale.value = take(f"{key}.weight", c)
+            dst.bias.value = take(f"{key}.bias", c)
+            dst.mean.value = take(f"{key}.running_mean", c)
+            dst.var.value = take(f"{key}.running_var", c)
         elif kind == "ln":
-            dst.scale.value = take(f"{key}.weight")
-            dst.bias.value = take(f"{key}.bias")
+            c = dst.scale.value.shape
+            dst.scale.value = take(f"{key}.weight", c)
+            dst.bias.value = take(f"{key}.bias", c)
         elif kind == "linear":
-            dst.kernel.value = np.ascontiguousarray(take(f"{key}.weight").T)
-            dst.bias.value = take(f"{key}.bias")
+            ci, co = dst.kernel.value.shape
+            dst.kernel.value = np.ascontiguousarray(take(f"{key}.weight", (co, ci)).T)
+            dst.bias.value = take(f"{key}.bias", (co,))
         elif kind == "param":
-            dst.value = take(key).reshape(dst.value.shape)
+            t = take(key)
+            if t.size != dst.value.size:
+                raise RuntimeError(
+                    f"weight import for {name}: {key!r} has {t.size} elements, "
+                    f"native module expects {dst.value.size}"
+                )
+            dst.value = t.reshape(dst.value.shape)
         else:  # pragma: no cover
             raise AssertionError(kind)
 

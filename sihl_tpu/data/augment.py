@@ -260,10 +260,25 @@ def train_pipeline(
     seed: int = 0,
 ) -> Callable[[Sample], Sample]:
     """The reference train-time chain: flip -> photometric -> zoom-out ->
-    resize(size-1, max=size) -> crop-to-size -> sanitize."""
-    rng = np.random.RandomState(seed)
+    resize(size-1, max=size) -> crop-to-size -> sanitize.
 
-    def apply(sample: Sample) -> Sample:
+    Each call draws from its OWN RandomState derived from
+    ``(seed, index)`` — legacy RandomState is not thread-safe, so a single
+    shared stream mutated by loader worker threads would interleave
+    nondeterministically.  ``batched_loader`` passes ``index = epoch*n + i``
+    so the augmentation of every sample is reproducible regardless of
+    thread scheduling; callers that omit ``index`` get a process-local
+    counter (isolated draws, ordering-dependent seeds)."""
+    import itertools
+
+    counter = itertools.count()
+
+    def apply(sample: Sample, index: Optional[int] = None) -> Sample:
+        if index is None:
+            index = next(counter)
+        rng = np.random.RandomState(
+            np.random.SeedSequence([seed, int(index)]).generate_state(1)[0]
+        )
         if flip and rng.rand() < 0.5:
             sample = horizontal_flip(sample)
         if distort:
@@ -274,14 +289,17 @@ def train_pipeline(
         sample = random_crop(sample, image_size, rng)
         return sanitize(sample)
 
+    apply.accepts_index = True
     return apply
 
 
 def eval_pipeline(image_size: int, *, seed: int = 0) -> Callable[[Sample], Sample]:
-    rng = np.random.RandomState(seed)
-
-    def apply(sample: Sample) -> Sample:
+    def apply(sample: Sample, index: Optional[int] = None) -> Sample:
+        rng = np.random.RandomState(
+            np.random.SeedSequence([seed, int(index or 0)]).generate_state(1)[0]
+        )
         sample = resize(sample, image_size - 1, max_size=image_size)
         return random_crop(sample, image_size, rng)
 
+    apply.accepts_index = True
     return apply

@@ -186,10 +186,25 @@ def batched_loader(
 
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    if n < batch_size:
+        # the epoch loop below yields nothing per epoch and would spin
+        # forever with epochs=None — fail loudly instead
+        raise ValueError(
+            f"dataset has {n} samples but batch_size={batch_size}; "
+            "reduce batch_size or repeat the dataset"
+        )
 
-    def fetch(i):
+    # index-aware pipelines (augment.py) derive a per-sample RNG from
+    # (seed, epoch*n + i) so worker threads never share a RandomState
+    indexed = getattr(augment, "accepts_index", False)
+
+    def fetch(i, epoch):
         s = dataset[int(i)]
-        return augment(s) if augment is not None else s
+        if augment is None:
+            return s
+        if indexed:
+            return augment(s, index=epoch * n + int(i))
+        return augment(s)
 
     epoch = 0
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -197,7 +212,7 @@ def batched_loader(
             order = rng.permutation(n) if shuffle else np.arange(n)
             for start in range(0, n - batch_size + 1, batch_size):
                 idxs = order[start : start + batch_size]
-                yield collate(list(pool.map(fetch, idxs)))
+                yield collate(list(pool.map(fetch, idxs, [epoch] * len(idxs))))
             epoch += 1
 
 

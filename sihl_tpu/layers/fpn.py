@@ -10,9 +10,12 @@ backbone's top are synthesized with stride-2 convs from the highest
 merged map; every emitted level passes through a final 3x3 smoothing
 conv.
 
-TPU notes: NHWC throughout; the upsample+add pair is a single fused VMEM
-pass (``ops/pallas/fusion.fused_upsample_add``) so the upsampled
-intermediate never hits HBM.
+TPU notes: NHWC throughout.  The upsample+add pair goes through
+``ops/pallas/fusion.fused_upsample_add``, which by DEFAULT lowers to the
+plain XLA ``repeat + add`` — XLA fuses that into the adjacent conv and the
+hand-written Pallas VMEM kernel measured ~10% SLOWER on the flagship bench
+(round-1 A/B), so the kernel ships opt-in behind the global Pallas gate
+``SIHL_TPU_PALLAS=1`` for memory-bound configurations only.
 """
 
 from typing import List, Optional

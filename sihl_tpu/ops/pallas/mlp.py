@@ -383,14 +383,18 @@ def supported(x_2d, mlps) -> bool:
     m, d = x_2d.shape
     if d % 128 != 0:
         return False
+    depths = set()
     for mlp in mlps:
         linears = list(mlp.linears)
         if len(linears) < 2 or len(mlp.norms) != len(linears) - 1:
             return False
+        depths.add(len(linears))
         for l in linears[:-1]:
             if l.kernel.value.shape != (d, d):
                 return False
-    return True
+    # the kernels index every head's stacked hidden weights with head 0's
+    # layer count — mixed depths would truncate or over-read
+    return len(depths) == 1
 
 
 def fused_mlps(x_2d, mlps, interpret: bool = False):

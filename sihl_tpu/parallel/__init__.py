@@ -93,6 +93,32 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def shard_stacked_batch(batch, mesh: Mesh, spatial: bool = False):
+    """Shard a scanned-dispatch batch pytree with a leading steps axis.
+
+    Arrays are ``(K, B, ...)`` — K stacked per-step batches — so the batch
+    dimension to shard over ``data`` is axis **1**, not axis 0 (the scan
+    consumes axis 0 step by step; sharding it would split steps, not
+    examples, across chips).  With ``spatial=True``, 5-D image stacks
+    ``(K, B, H, W, C)`` additionally shard rows over ``model``.  1-D arrays
+    (per-step scalars stacked to ``(K,)``) are replicated.
+    """
+    img = NamedSharding(mesh, P(None, "data", "model") if spatial else P(None, "data"))
+    other = NamedSharding(mesh, P(None, "data"))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if x.ndim < 2:
+            return jax.device_put(x, repl)
+        if x.ndim == 5:
+            return jax.device_put(x, img)
+        return jax.device_put(x, other)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -86,6 +86,41 @@ def test_timm_alias():
         TimmBackbone("not_a_real_arch")
 
 
+def test_every_reference_timm_name_resolves():
+    """All active names in the reference registry
+    (``src/sihl/timm_backbone.py:13-89``) must construct without
+    ValueError — including the width-multiplier mobilenet variants."""
+    import re
+
+    from sihl_tpu.backbones import _TIMM_ALIASES
+
+    src = open("/root/reference/src/sihl/timm_backbone.py").read()
+    block = src[src.index("TIMM_BACKBONE_NAMES") :]
+    block = block[: block.index(")\n")]
+    names = re.findall(r'^\s+"([a-z0-9_]+)",', block, re.M)
+    assert len(names) >= 55, names
+    missing = [n for n in names if n not in _TIMM_ALIASES]
+    assert not missing, missing
+
+
+@pytest.mark.parametrize(
+    "name,channels",
+    [
+        # torchvision/timm make_divisible(c*w, 8) channel math
+        ("mobilenetv2_050", [3, 8, 16, 16, 48, 1280]),
+        ("mobilenetv2_140", [3, 24, 32, 48, 136, 1792]),
+        ("mobilenetv3_small_050", [3, 8, 8, 16, 24, 288]),
+        ("mobilenetv3_small_075", [3, 16, 16, 24, 40, 432]),
+    ],
+)
+def test_mobilenet_width_variants(name, channels):
+    backbone = TimmBackbone(name, rngs=nnx.Rngs(0))
+    assert backbone.out_channels == channels
+    outs = backbone(jnp.ones((1, 64, 64, 3)))
+    for lvl, (o, c) in enumerate(zip(outs, channels)):
+        assert o.shape == (1, 64 // 2**lvl, 64 // 2**lvl, c)
+
+
 def test_frozen_levels_paths():
     backbone = Backbone("resnet18", pretrained=False, frozen_levels=2, rngs=nnx.Rngs(0))
     # not pretrained -> freezing is a no-op, like the reference (:158-159)

