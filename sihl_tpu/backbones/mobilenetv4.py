@@ -9,8 +9,13 @@ the middle, which specializes to the paper's four instantiations
 Mobile-MQA attention blocks (multi-query: shared single K/V head) into
 the stride-16/32 stages.
 
-Stage widths and strides follow the timm ``features_only`` pyramid;
-per-stage block counts follow the published specs.
+Stage widths, strides, per-stage block counts, per-block (dw_start,
+dw_mid, expand) parameters, and the final 1x1 960-channel conv match the
+timm ``conv_small/medium/large`` arch definitions block for block (so the
+``features_only`` pyramid channels agree, incl. 960 at stride 32).  The
+``hybrid`` variants place a Mobile-MQA block after every third deep UIB —
+a best-effort reconstruction of timm's explicit interleave (timm is not
+importable in this environment to transcribe exactly).
 """
 
 from typing import List, Optional
@@ -124,6 +129,7 @@ MOBILENETV4_CONFIGS = {
         ("uib", 128, 3, 3, 2, 6.0), ("uib", 128, 5, 5, 1, 4.0),
         ("uib", 128, 0, 5, 1, 4.0), ("uib", 128, 0, 5, 1, 3.0),
         ("uib", 128, 0, 3, 1, 4.0), ("uib", 128, 0, 3, 1, 4.0),
+        ("conv", 960, 1, 1),  # timm blocks end with cn_r1_k1_s1_c960
     ],
     "mobilenetv4_conv_medium": [
         ("fused", 48, 2, 4.0),
@@ -138,6 +144,7 @@ MOBILENETV4_CONFIGS = {
         ("uib", 256, 3, 5, 1, 2.0), ("uib", 256, 5, 5, 1, 4.0),
         ("uib", 256, 0, 0, 1, 4.0), ("uib", 256, 0, 0, 1, 4.0),
         ("uib", 256, 5, 0, 1, 2.0),
+        ("conv", 960, 1, 1),  # timm blocks end with cn_r1_k1_s1_c960
     ],
     "mobilenetv4_conv_large": [
         ("fused", 48, 2, 4.0),
@@ -155,6 +162,7 @@ MOBILENETV4_CONFIGS = {
         ("uib", 512, 5, 3, 1, 4.0), ("uib", 512, 5, 5, 1, 4.0),
         ("uib", 512, 5, 0, 1, 4.0), ("uib", 512, 5, 0, 1, 4.0),
         ("uib", 512, 5, 0, 1, 4.0),
+        ("conv", 960, 1, 1),  # timm blocks end with cn_r1_k1_s1_c960
     ],
 }
 # hybrids: conv specs with MQA blocks interleaved in the s16/s32 stages

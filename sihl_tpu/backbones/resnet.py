@@ -91,13 +91,56 @@ class _Stage(nnx.Module):
         return x
 
 
+def _stem_space_to_depth(x, kernel):
+    """The 7x7/s2 stem conv computed as a 4x4/s1 conv over the 2x2
+    space-to-depth input — numerically identical, but with 4x the input
+    channels (3 -> 12) so far less of each VMEM lane is padding (a
+    3-channel NHWC tensor wastes most of the 128-wide lane).
+
+    Derivation: y[i,j] = sum_{ky,kx} w[ky,kx] x[2i+ky-3, 2j+kx-3] with
+    ky = 2*ty + dy - 1 maps each 7x7 tap onto a (ty in [0,4), dy in {0,1})
+    pair; the (ty=0, dy=0) row/column falls outside the 7x7 kernel and is
+    zero-padded.  Padding (2,1) reproduces the original pad-3 geometry.
+    """
+    b, h, w, c = x.shape
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    co = kernel.shape[-1]
+    wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, c, co)
+    w2 = (
+        wp.reshape(4, 2, 4, 2, c, co)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * c, co)
+    )
+    return jax.lax.conv_general_dilated(
+        x2,
+        w2,
+        (1, 1),
+        ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class _Stem(nnx.Module):
     def __init__(self, input_channels, rngs):
         self.conv = make_conv(input_channels, 64, 7, stride=2, padding=3, bias=False, rngs=rngs)
         self.bn = make_norm("batch", 64, 1, rngs)
 
     def __call__(self, x):
-        return nnx.relu(self.bn(self.conv(x)))
+        import os
+
+        if (
+            os.environ.get("SIHL_TPU_STEM_S2D", "1") == "1"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            dtype = self.conv.dtype or x.dtype
+            y = _stem_space_to_depth(
+                x.astype(dtype), self.conv.kernel.value.astype(dtype)
+            )
+        else:
+            y = self.conv(x)
+        return nnx.relu(self.bn(y))
 
 
 class ResNetFeatures(nnx.Module):

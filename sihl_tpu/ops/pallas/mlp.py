@@ -23,6 +23,7 @@ chain in interpreter mode on CPU and on real TPU.
 """
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -38,6 +39,20 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 _LN_EPS = 1e-5
+
+# A/B switch for the in-kernel f32 sigmoid (the step's VPU bottleneck:
+# ~280M evaluations/step).  Candidates measured on chip; see STATUS.md.
+_SIGMOID_MODE = os.environ.get("SIHL_TPU_MLP_SIGMOID", "exp")
+
+
+def _sigmoid_f32(zf):
+    if _SIGMOID_MODE == "exp2":
+        # one fewer internal range-reduction multiply if Mosaic lowers
+        # exp via exp2 anyway
+        return 1.0 / (1.0 + jnp.exp2(zf * -1.4426950408889634))
+    if _SIGMOID_MODE == "tanh":
+        return 0.5 * (jnp.tanh(zf * 0.5) + 1.0)
+    return jax.nn.sigmoid(zf)
 
 
 # -- pure-JAX reference (fallback + parity oracle) ---------------------------
@@ -83,7 +98,7 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
             # silu in f32: Mosaic rejects bf16 logistic (vector.broadcast
             # element-type mismatch)
             zf = z.astype(jnp.float32)
-            h = (zf * jax.nn.sigmoid(zf)).astype(h0.dtype)
+            h = (zf * _sigmoid_f32(zf)).astype(h0.dtype)
         out = jnp.dot(h, wo[:], preferred_element_type=jnp.float32) + bo[
             0
         ].astype(jnp.float32)
@@ -193,7 +208,7 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
             zs.append(z)
             rstds.append(rstd)
             zf = z.astype(jnp.float32)
-            h = (zf * jax.nn.sigmoid(zf)).astype(x.dtype)
+            h = (zf * _sigmoid_f32(zf)).astype(x.dtype)
 
         g = g_ref[:].astype(jnp.float32)
         # output layer
@@ -218,7 +233,7 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
 
         for l in range(num_layers - 1, -1, -1):
             zf = zs[l].astype(jnp.float32)
-            sig = jax.nn.sigmoid(zf)
+            sig = _sigmoid_f32(zf)
             dz = dh * (sig * (1.0 + zf * (1.0 - sig)))
             dsc = jnp.sum(dz * ns[l], axis=0, keepdims=True)
             dbi = jnp.sum(dz, axis=0, keepdims=True)

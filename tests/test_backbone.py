@@ -121,6 +121,33 @@ def test_mobilenet_width_variants(name, channels):
         assert o.shape == (1, 64 // 2**lvl, 64 // 2**lvl, c)
 
 
+def test_mobilenetv4_final_conv_channels():
+    """timm's mnv4 blocks end with a 1x1 960-ch conv, so the stride-32
+    feature is 960 channels in every variant (features_only semantics)."""
+    from sihl_tpu.backbones.mobilenetv4 import MOBILENETV4_CONFIGS
+
+    for name, spec in MOBILENETV4_CONFIGS.items():
+        assert spec[-1] == ("conv", 960, 1, 1), name
+
+
+def test_stem_space_to_depth_parity():
+    """The s2d-rewritten stem conv must equal the direct 7x7/s2 conv."""
+    import jax
+    import numpy as np
+
+    from sihl_tpu.backbones.resnet import _stem_space_to_depth
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    w = jnp.asarray(rng.randn(7, 7, 3, 8), jnp.float32)
+    direct = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    s2d = _stem_space_to_depth(x, w)
+    assert s2d.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct), atol=1e-4)
+
+
 def test_frozen_levels_paths():
     backbone = Backbone("resnet18", pretrained=False, frozen_levels=2, rngs=nnx.Rngs(0))
     # not pretrained -> freezing is a no-op, like the reference (:158-159)

@@ -1,0 +1,301 @@
+"""Measured task-quality evidence on the real chip (RESULTS.md source).
+
+Five fast synthetic-convergence checks, one per head family.  Each task
+builds synthetic data whose signal is trivially learnable (color <->
+class, brightness <-> depth, bright squares <-> boxes/keypoints), trains
+a small model for a few hundred steps on the attached TPU, runs the real
+validation protocol, and prints one JSON line per task:
+
+    {"task": ..., "metric": ..., "value": ..., "expected": ..., "pass": ...}
+
+The committed expected values in RESULTS.md are the regression bar for
+future rounds — the analog of the reference's measured results table
+(``/root/reference/examples/README.md:11-29``), which cannot be
+reproduced here directly because the environment has no datasets.
+
+Usage: python tools/quality_checks.py [task ...]
+Tasks: detection classification segmentation keypoints depth  (default all)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _trainer(model, steps, lr=3e-4, grad_clip=1.0):
+    from sihl_tpu.training import Trainer
+
+    return Trainer(
+        model,
+        optimizer="adamw",
+        optimizer_kwargs={"lr": lr, "weight_decay": 1e-4},
+        scheduler="cosine",
+        scheduler_kwargs={"T_max": steps, "warmup": min(20, steps // 10)},
+        grad_clip=grad_clip,
+    )
+
+
+def _run_scanned(trainer, make_batch, steps, k=10, log_every=5):
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    chunks = steps // k
+    for chunk in range(chunks):
+        r = np.random.RandomState(chunk + 1)
+        batches = [make_batch(r) for _ in range(k)]
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        ts = jax.tree_util.tree_map(
+            lambda *vs: jnp.asarray(np.stack(vs)), *[b[1] for b in batches]
+        )
+        losses = trainer.training_steps_scanned(xs, ts)
+        if chunk % log_every == 0 or chunk == chunks - 1:
+            print(
+                f"  steps {trainer.step}: loss "
+                f"{float(losses['trainer/loss'][-1]):.3f} ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+
+
+def _validate(trainer, make_batch, n_batches=4, seed=999):
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(seed)
+    data = []
+    for _ in range(n_batches):
+        x, t = make_batch(r)
+        import jax
+
+        data.append(
+            (jnp.asarray(x), jax.tree_util.tree_map(jnp.asarray, t))
+        )
+    return trainer.validate(data)
+
+
+# -- tasks --------------------------------------------------------------------
+
+
+def check_detection(steps=300):
+    """Bright colored squares on dark noise; COCO-protocol mAP."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import sihl_tpu
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import ObjectDetection
+    from sihl_tpu.layers import FPN
+
+    B, S, T = 8, 320, 8
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        classes = np.full((B, T), -1, np.int32)
+        boxes = np.zeros((B, T, 4), np.float32)
+        for b in range(B):
+            n = rng.randint(1, 4)
+            for t in range(n):
+                w, h = rng.randint(40, 90, 2)
+                x0 = rng.randint(0, S - w)
+                y0 = rng.randint(0, S - h)
+                c = rng.randint(0, 2)
+                x[b, y0 : y0 + h, x0 : x0 + w] = (
+                    [0.9, 0.2, 0.2] if c == 0 else [0.2, 0.2, 0.9]
+                )
+                classes[b, t] = c
+                boxes[b, t] = [x0, y0, x0 + w, y0 + h]
+        return x, {"classes": classes, "boxes": boxes}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = ObjectDetection(
+        neck.out_channels, 2, bottom_level=3, top_level=5,
+        num_channels=128, num_layers=2, max_targets=T, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "map_50", float(val["head0/valid/map_50"])
+
+
+def check_classification(steps=150):
+    """Class = dominant color tint; top-1 accuracy."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import MulticlassClassification
+
+    B, S, C = 16, 128, 3
+    tints = np.eye(3, dtype=np.float32) * 0.6
+
+    def make_batch(rng):
+        y = rng.randint(0, C, B)
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.4 + tints[y][:, None, None, :]
+        return x, {"target": y.astype(np.int32)}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = MulticlassClassification(backbone.out_channels, C, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "accuracy", float(val["head0/valid/accuracy"])
+
+
+def check_segmentation(steps=300):
+    """Pixel class = color of the rectangle covering it (bg = 0); mIoU."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import SemanticSegmentation
+    from sihl_tpu.layers import FPN
+
+    B, S, C = 8, 256, 4
+    colors = np.asarray(
+        [[0.1, 0.1, 0.1], [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9]],
+        np.float32,
+    )
+
+    def make_batch(rng):
+        y = np.zeros((B, S, S), np.int32)
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.25 + colors[0]
+        for b in range(B):
+            for _ in range(rng.randint(2, 5)):
+                c = rng.randint(1, C)
+                w, h = rng.randint(40, 120, 2)
+                x0 = rng.randint(0, S - w)
+                y0 = rng.randint(0, S - h)
+                x[b, y0 : y0 + h, x0 : x0 + w] = (
+                    colors[c] + rng.rand(h, w, 3) * 0.25
+                )
+                y[b, y0 : y0 + h, x0 : x0 + w] = c
+        return x, {"targets": y}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = SemanticSegmentation(neck.out_channels, C, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "mean_iou", float(val["head0/valid/mean_iou"])
+
+
+def check_keypoints(steps=300):
+    """Keypoints = opposite corners of bright squares; PCK@0.1."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import KeypointDetection
+    from sihl_tpu.layers import FPN
+
+    B, S, T, K = 8, 320, 4, 2
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        kpts = np.zeros((B, T, K, 2), np.float32)
+        vis = np.zeros((B, T, K), bool)
+        for b in range(B):
+            n = rng.randint(1, 3)
+            for t in range(n):
+                w = rng.randint(50, 90)
+                x0 = rng.randint(0, S - w)
+                y0 = rng.randint(0, S - w)
+                x[b, y0 : y0 + w, x0 : x0 + w] = [0.8, 0.8, 0.2]
+                # distinct corner dots so the two keypoints are separable
+                x[b, y0 : y0 + 10, x0 : x0 + 10] = [0.9, 0.1, 0.1]
+                x[b, y0 + w - 10 : y0 + w, x0 + w - 10 : x0 + w] = [0.1, 0.1, 0.9]
+                kpts[b, t, 0] = [x0 + 5, y0 + 5]
+                kpts[b, t, 1] = [x0 + w - 5, y0 + w - 5]
+                vis[b, t] = True
+        return x, {"keypoints": kpts, "presence": vis}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = KeypointDetection(
+        neck.out_channels, K, max_targets=T, num_channels=128, rngs=rngs
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "PCK", float(val["head0/valid/PCK"])
+
+
+def check_depth(steps=200):
+    """Depth = 0.1 + 9.9 x brightness; masked MAE."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import DepthEstimation
+    from sihl_tpu.layers import FPN
+
+    B, S = 8, 256
+
+    def make_batch(rng):
+        base = rng.rand(B, S, S).astype(np.float32)
+        # smooth the field so it is resolvable at stride-8 decoding
+        k = np.ones((16, 16), np.float32) / 256.0
+        from scipy.signal import convolve2d  # scipy is in the torch stack
+
+        smooth = np.stack(
+            [convolve2d(b, k, mode="same", boundary="symm") for b in base]
+        )
+        x = np.repeat(smooth[..., None], 3, axis=-1)
+        depth = 0.1 + smooth * 9.9
+        masks = np.ones((B, S, S), bool)
+        return x.astype(np.float32), {"targets": depth, "masks": masks}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = DepthEstimation(
+        neck.out_channels, lower_bound=0.1, upper_bound=10.0, rngs=rngs
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "mae", float(val["head0/valid/mae"])
+
+
+# metric, committed expectation, and the comparison direction
+TASKS = {
+    "detection": (check_detection, 0.70, "ge"),
+    "classification": (check_classification, 0.95, "ge"),
+    "segmentation": (check_segmentation, 0.70, "ge"),
+    "keypoints": (check_keypoints, 0.60, "ge"),
+    "depth": (check_depth, 0.60, "le"),
+}
+
+
+def main():
+    import jax.numpy as jnp
+
+    import sihl_tpu
+
+    sihl_tpu.set_compute_dtype(jnp.bfloat16)
+    names = [a for a in sys.argv[1:] if a in TASKS] or list(TASKS)
+    results = []
+    for name in names:
+        fn, expected, direction = TASKS[name]
+        print(f"== {name}", flush=True)
+        t0 = time.time()
+        metric, value = fn()
+        ok = value >= expected if direction == "ge" else value <= expected
+        line = {
+            "task": name,
+            "metric": metric,
+            "value": round(value, 4),
+            "expected": (">=" if direction == "ge" else "<=") + str(expected),
+            "pass": bool(ok),
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(json.dumps(line), flush=True)
+        results.append(line)
+    print(json.dumps({"all_pass": all(r["pass"] for r in results)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,332 @@
+"""Per-block achieved-vs-machine-ceiling roofline for the flagship step.
+
+Produces the auditable evidence behind the throughput number: every
+device-time bucket of the ResNet-50+FPN detection train step, its
+achieved bandwidth / FLOP rate from the profiler's own counters, and the
+measured machine ceiling for that bucket's shape class, so the residual
+gap to the 400 img/s target is arithmetic, not assertion.
+
+Method:
+1. trace K scanned train steps with ``jax.profiler.trace`` (device events
+   carry ``hlo_category``, ``bytes_accessed``, ``flops`` per fusion);
+2. bucket events by category + dominant tensor shape parsed from the HLO
+   ``long_name``;
+3. per bucket: ms/step, achieved GB/s and TFLOP/s, percent of the
+   measured ceiling for that shape class (ceilings from the amortized
+   probes in ``tools/probe_perf.py``, re-measured on this chip each run);
+4. write ROOFLINE.md.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/roofline_table.py
+"""
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+K = 5  # steps per scanned dispatch in the traced run
+BATCH, SIZE = 16, 640
+
+
+# -- machine ceilings (measured, amortized single-dispatch probes) ------------
+
+
+def measure_ceilings():
+    """Measured per-shape-class machine limits on THIS chip."""
+    import jax
+    import jax.numpy as jnp
+
+    def amortized(fn, x, iters=20):
+        """fori_loop with carry-dependent perturbation (defeats hoisting)."""
+
+        def body(_, c):
+            return fn(c) * 1e-20 + x
+
+        f = jax.jit(lambda x0: jax.lax.fori_loop(0, iters, body, x0).sum())
+        float(f(x))  # compile+warm
+        t0 = time.perf_counter()
+        float(f(x))
+        return (time.perf_counter() - t0) / iters
+
+    out = {}
+    # peak bf16 matmul
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    def mm(c):
+        return c @ a
+
+    dt = amortized(mm, a)
+    out["peak_matmul_tflops"] = 2 * n**3 / dt / 1e12
+
+    # conv classes: (name, spatial, cin, cout, kernel)
+    convs = [
+        ("conv_256ch", 40, 256, 256, 3),
+        ("conv_128ch", 80, 128, 128, 3),
+        ("conv_64ch", 160, 64, 64, 3),
+        ("conv_1x1_64_256", 160, 64, 256, 1),
+        ("conv_512ch", 20, 512, 512, 3),
+    ]
+    for name, s, ci, co, k in convs:
+        x = jnp.ones((BATCH, s, s, ci), jnp.bfloat16)
+        w = jnp.ones((k, k, ci, co), jnp.bfloat16)
+
+        def conv(c, w=w, ci=ci, co=co):
+            y = jax.lax.conv_general_dilated(
+                c, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            # keep channel count stable for the carry
+            return y[..., :ci] if co >= ci else jnp.pad(y, ((0, 0),) * 3 + ((0, ci - co),))
+
+        dt = amortized(conv, x)
+        out[f"{name}_tflops"] = 2 * BATCH * s * s * ci * co * k * k / dt / 1e12
+
+    # HBM streaming (big elementwise)
+    x = jnp.ones((64, 1024, 1024), jnp.bfloat16)
+
+    def ew(c):
+        return c * 1.000001 + 0.5
+
+    dt = amortized(ew, x)
+    out["stream_gbps"] = 2 * x.size * 2 / dt / 1e9
+    return out
+
+
+# -- trace capture ------------------------------------------------------------
+
+
+def capture_trace(logdir):
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import sihl_tpu
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import ObjectDetection
+    from sihl_tpu.layers import FPN
+    from sihl_tpu.training import Trainer
+
+    sihl_tpu.set_compute_dtype(jnp.bfloat16)
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet50", top_level=5, rngs=rngs)
+    backbone.set_frozen_levels(1)
+    neck = FPN(backbone.out_channels, 256, bottom_level=3, top_level=7, rngs=rngs)
+    head = ObjectDetection(
+        neck.out_channels, 80, bottom_level=3, top_level=7, max_targets=100, rngs=rngs
+    )
+    model = SihlModel(backbone, neck, [head])
+    trainer = Trainer(
+        model,
+        optimizer="adamw",
+        optimizer_kwargs={"lr": 1e-4, "weight_decay": 1e-4, "backbone_lr_factor": 0.1},
+        grad_clip=0.1,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+    classes = np.full((BATCH, 100), -1, np.int32)
+    boxes = np.zeros((BATCH, 100, 4), np.float32)
+    for b in range(BATCH):
+        n = rng.randint(1, 20)
+        classes[b, :n] = rng.randint(0, 80, n)
+        xy = rng.rand(n, 2) * (SIZE - 64)
+        wh = rng.rand(n, 2) * 128 + 8
+        boxes[b, :n] = np.concatenate([xy, xy + wh], axis=1)
+    targets = {"classes": jnp.asarray(classes), "boxes": jnp.asarray(boxes)}
+    xs = jnp.stack([x] * K)
+    ts = jax.tree_util.tree_map(lambda v: jnp.stack([v] * K), targets)
+
+    run = lambda: float(trainer.training_steps_scanned(xs, ts)["trainer/loss"].sum())
+    run()  # compile + warm
+    run()
+    with jax.profiler.trace(logdir):
+        run()
+    return None
+
+
+# -- trace parsing ------------------------------------------------------------
+
+
+def load_device_events(logdir):
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # find pids whose XLA op events carry device counters
+    device_pids = set()
+    for e in events:
+        if e.get("ph") == "X" and isinstance(e.get("args"), dict):
+            a = e["args"]
+            if "hlo_category" in a or "long_name" in a:
+                device_pids.add(e["pid"])
+    return [
+        e
+        for e in events
+        if e.get("ph") == "X" and e.get("pid") in device_pids and e.get("dur")
+    ]
+
+
+_SHAPE_RE = re.compile(r"(?:bf16|f32|f16|s32|u32|pred|s8|u8)\[([\d,]+)\]")
+
+
+def classify(event):
+    """Bucket an XLA device event by what block of the model it is."""
+    args = event.get("args") or {}
+    cat = args.get("hlo_category", "?").strip()
+    long_name = args.get("long_name", "") or event.get("name", "")
+    name = event.get("name", "")
+
+    shapes = [
+        tuple(int(d) for d in m.group(1).split(","))
+        for m in _SHAPE_RE.finditer(long_name)
+    ]
+    spatial = 0
+    ch = 0
+    for s in shapes:
+        if len(s) == 4:
+            spatial = max(spatial, s[1])
+            ch = max(ch, s[-1])
+    if "custom-call" in name or cat == "custom call":
+        if "mlp" in long_name or "fused_mlp" in name:
+            return "pallas fused-MLP"
+        if "kth" in long_name or "topk" in long_name:
+            return "pallas matching"
+        return "custom call (other)"
+    if "convolution" in cat or "conv" in name.split(".")[0]:
+        if spatial >= 160:
+            return f"convs @{spatial}^2 (<=64ch)" if ch <= 64 else f"convs @{spatial}^2"
+        if spatial >= 80:
+            return f"convs @{spatial}^2"
+        return "convs @<=40^2"
+    if cat in ("loop fusion", "fusion", "input fusion", "output fusion"):
+        if spatial >= 160:
+            return "elementwise @>=160^2 (BN/ReLU chains)"
+        return "elementwise (other fusions)"
+    if "copy" in cat or "copy" in name:
+        return "copies/transposes"
+    if "reduce" in cat or "reduce" in name:
+        return "reduces (stats/bias grads)"
+    if "all-reduce" in name or "collective" in cat:
+        return "collectives"
+    return f"other ({cat})"
+
+
+def aggregate(events):
+    buckets = defaultdict(lambda: {"us": 0.0, "bytes": 0.0, "flops": 0.0, "n": 0})
+    for e in events:
+        a = e.get("args") or {}
+        b = buckets[classify(e)]
+        b["us"] += e["dur"]
+        b["n"] += 1
+        for key in ("bytes_accessed", "bytes accessed"):
+            if key in a:
+                try:
+                    b["bytes"] += float(a[key])
+                except (TypeError, ValueError):
+                    pass
+                break
+        if "flops" in a:
+            try:
+                b["flops"] += float(a["flops"])
+            except (TypeError, ValueError):
+                pass
+    return buckets
+
+
+CEILING_FOR = {
+    # bucket -> (ceiling key, kind)
+    "convs @160^2 (<=64ch)": ("conv_64ch_tflops", "tflops"),
+    "convs @160^2": ("conv_64ch_tflops", "tflops"),
+    "convs @80^2": ("conv_128ch_tflops", "tflops"),
+    "convs @<=40^2": ("conv_256ch_tflops", "tflops"),
+    "elementwise @>=160^2 (BN/ReLU chains)": ("stream_gbps", "gbps"),
+    "elementwise (other fusions)": ("stream_gbps", "gbps"),
+    "copies/transposes": ("stream_gbps", "gbps"),
+    "reduces (stats/bias grads)": ("stream_gbps", "gbps"),
+    "pallas fused-MLP": ("stream_gbps", "gbps"),
+    "pallas matching": ("stream_gbps", "gbps"),
+}
+
+
+def main():
+    out_md = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md")
+    logdir = tempfile.mkdtemp(prefix="sihl_roofline_")
+    print("measuring machine ceilings...", flush=True)
+    ceilings = measure_ceilings()
+    for k, v in ceilings.items():
+        print(f"  {k}: {v:.1f}", flush=True)
+    print("tracing train step...", flush=True)
+    capture_trace(logdir)
+    events = load_device_events(logdir)
+    print(f"parsed {len(events)} device events", flush=True)
+    buckets = aggregate(events)
+
+    total_ms = sum(b["us"] for b in buckets.values()) / 1e3 / K
+    rows = []
+    for name, b in sorted(buckets.items(), key=lambda kv: -kv[1]["us"]):
+        ms = b["us"] / 1e3 / K
+        gbps = b["bytes"] / (b["us"] * 1e-6) / 1e9 if b["us"] else 0.0
+        tflops = b["flops"] / (b["us"] * 1e-6) / 1e12 if b["us"] else 0.0
+        ceiling_key, kind = CEILING_FOR.get(name, (None, None))
+        if ceiling_key:
+            ceiling = ceilings[ceiling_key]
+            achieved = tflops if kind == "tflops" else gbps
+            pct = 100.0 * achieved / ceiling if ceiling else 0.0
+            ceiling_str = f"{ceiling:.0f} {'TF/s' if kind == 'tflops' else 'GB/s'}"
+            pct_str = f"{pct:.0f}%"
+        else:
+            ceiling_str, pct_str = "-", "-"
+        rows.append(
+            (name, ms, b["n"] // K, gbps, tflops, ceiling_str, pct_str)
+        )
+
+    lines = [
+        "# ROOFLINE — flagship step, per-block achieved vs machine ceiling",
+        "",
+        f"ResNet-50+FPN detection, batch {BATCH} @ {SIZE}px, bf16, K={K} scanned",
+        "steps, traced on the attached TPU. Ceilings are re-measured on the same",
+        "chip in the same session by `tools/roofline_table.py` (amortized",
+        "fori_loop probes). `%ceil` = achieved rate / measured machine limit for",
+        "that bucket's shape class.",
+        "",
+        f"Generated: {time.strftime('%Y-%m-%d %H:%M')} | device total: "
+        f"{total_ms:.1f} ms/step",
+        "",
+        "## Measured machine ceilings",
+        "",
+        "| probe | value |",
+        "|---|---|",
+    ]
+    for k, v in ceilings.items():
+        unit = "TFLOP/s" if "tflops" in k else "GB/s"
+        lines.append(f"| {k} | {v:.1f} {unit} |")
+    lines += [
+        "",
+        "## Per-block table",
+        "",
+        "| block | ms/step | events/step | GB/s | TFLOP/s | ceiling | %ceil |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, ms, n, gbps, tflops, ceiling_str, pct_str in rows:
+        lines.append(
+            f"| {name} | {ms:.2f} | {n} | {gbps:.0f} | {tflops:.1f} "
+            f"| {ceiling_str} | {pct_str} |"
+        )
+    lines.append("")
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {os.path.abspath(out_md)}")
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()
