@@ -17,7 +17,9 @@ import numpy as np
 
 A100_X2_TARGET = 400.0  # images/sec/chip
 
-BATCH = 16
+import os
+
+BATCH = int(os.environ.get("SIHL_BENCH_BATCH", "16"))
 IMAGE_SIZE = 640
 NUM_CLASSES = 80
 MEASURE_STEPS = 20
@@ -80,13 +82,15 @@ def main():
     # NB: sync via host transfer — block_until_ready is unreliable through
     # remote-device transports
     xs_m, ts_m = stack(MEASURE_STEPS)
-    run = lambda: float(trainer.training_steps_scanned(xs_m, ts_m)["trainer/loss"].sum())
-    _ = run()  # compile + warm
-    t0 = time.perf_counter()
-    losses_sum = 0.0
+    run = lambda: trainer.training_steps_scanned(xs_m, ts_m)["trainer/loss"].sum()
+    _ = float(run())  # compile + warm
+    # queue all reps back-to-back and sync ONCE: a per-rep host sync would
+    # add a full tunnel round-trip (~40 ms) of device idle per rep, which
+    # no production loop pays (steps stream asynchronously)
     reps = 3
-    for _rep in range(reps):
-        losses_sum += run()
+    t0 = time.perf_counter()
+    losses = [run() for _rep in range(reps)]
+    losses_sum = float(sum(losses))
     dt = (time.perf_counter() - t0) / reps
 
     images_per_sec = BATCH * MEASURE_STEPS / dt

@@ -129,8 +129,12 @@ class _Stem(nnx.Module):
     def __call__(self, x):
         import os
 
+        # measured on the flagship bench (b16@640, r3): 212.5 img/s with
+        # s2d vs 213.4 without — a wash (XLA handles the 3-channel stem as
+        # well as the rearranged 12-channel one), so the rewrite ships
+        # opt-in; parity is tested either way
         if (
-            os.environ.get("SIHL_TPU_STEM_S2D", "1") == "1"
+            os.environ.get("SIHL_TPU_STEM_S2D", "0") == "1"
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
@@ -141,6 +145,126 @@ class _Stem(nnx.Module):
         else:
             y = self.conv(x)
         return nnx.relu(self.bn(y))
+
+
+# -- stage-1 space-to-depth execution ---------------------------------------
+#
+# The 64-channel stage-1 convs only half-fill the TPU's 128-wide vector
+# lanes, so XLA runs them at ~17 TFLOP/s (measured; see STATUS.md).  Folding
+# pairs of image rows into channels (space-to-depth along H) doubles the
+# channel dim to 128 — exactly one lane — and the 3x3/s1 convs become
+# mathematically identical dense 3x3 convs over 128 channels with a derived
+# block-sparse kernel.  The derived kernel carries 2x the FLOPs (half its
+# C-in x C-out blocks are structural zeros) but runs at full-lane MXU rates.
+# Weights stay on the original modules; the remapping is traced per step and
+# is differentiable, so autodiff produces exact gradients for the original
+# (3,3,64,64) kernels.
+#
+# MEASURED NEGATIVE (r3, v5e, tools/probe_s2d_ab.py): ResNet-50 fwd+bwd
+# b16@640 frozen_levels=1 — 63.6 ms/iter with s2d vs 57.7 without.  The
+# doubled FLOPs of the derived 128-ch kernel cost more than the lane-fill
+# recovers (XLA's 64-ch conv is ~17 TF/s ≈ half-lane ~50% efficient, so
+# 2x-FLOP full-lane execution is at best break-even before the extra
+# fold/phase plumbing).  Shipped opt-in (SIHL_TPU_STAGE1_S2D=1) with CPU
+# parity tests; additionally the full detection program with this flag hits
+# a program-shape-specific TPU kernel fault (backbone-only and backbone+FPN
+# run fine) — not worth isolating given the measured loss.
+
+
+def _s2d_h(x):
+    """(B, H, W, C) -> (B, H//2, W, 2C); s2d channel = phase*C + c."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, h // 2, w, 2 * c
+    )
+
+
+def _s2d_h_inv(y):
+    """Inverse of :func:`_s2d_h`."""
+    b, h2, w, c2 = y.shape
+    c = c2 // 2
+    return y.reshape(b, h2, w, 2, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, 2 * h2, w, c
+    )
+
+
+def _conv3x3_kernel_s2d(wk):
+    """Remap a (3,3,C,Co) s1/p1 conv kernel onto the s2d-H domain.
+
+    Output original row ``2i+po`` reads original rows ``2i+po-1+ky``; writing
+    ``t = po+ky-1 = 2*delta + pi`` gives the s2d cell offset ``delta`` and
+    input phase ``pi`` for each tap.  Result: (3, 3, 2C, 2Co), half of whose
+    (C, Co) blocks are zero.
+    """
+    _, kw, c, co = wk.shape
+    k = jnp.zeros((3, kw, 2 * c, 2 * co), wk.dtype)
+    # po=0 outputs -> s2d out channels [0:co]
+    k = k.at[0, :, c:, :co].set(wk[0])  # ky=0: cell -1, phase 1
+    k = k.at[1, :, :c, :co].set(wk[1])  # ky=1: cell 0, phase 0
+    k = k.at[1, :, c:, :co].set(wk[2])  # ky=2: cell 0, phase 1
+    # po=1 outputs -> s2d out channels [co:]
+    k = k.at[1, :, :c, co:].set(wk[0])  # ky=0: cell 0, phase 0
+    k = k.at[1, :, c:, co:].set(wk[1])  # ky=1: cell 0, phase 1
+    k = k.at[2, :, :c, co:].set(wk[2])  # ky=2: cell +1, phase 0
+    return k
+
+
+def _pw_s2d(x2, conv):
+    """Apply a 1x1 conv's kernel per-phase on an s2d-H tensor.
+
+    A 1x1 conv is pixelwise, so it commutes with the row->channel fold: fold
+    the phase into the row dim and contract over C only.
+    """
+    b, h2, w, c2 = x2.shape
+    wk = conv.kernel.value
+    c = wk.shape[2]
+    wk = wk[0, 0].astype(x2.dtype)
+    y = jnp.einsum("bhwpc,cd->bhwpd", x2.reshape(b, h2, w, 2, c), wk)
+    return y.reshape(b, h2, w, -1)
+
+
+def _bn_s2d(bn, x2):
+    """Run an ``nnx.BatchNorm`` on the (...,2,C) view so batch statistics
+    reduce over the folded phase dim too — identical stats and running-stat
+    updates to the unfolded layout."""
+    b, h2, w, c2 = x2.shape
+    return bn(x2.reshape(b, h2, w, 2, c2 // 2)).reshape(b, h2, w, c2)
+
+
+def _bottleneck_s2d(blk, x2):
+    if blk.downsample is not None:
+        identity = _bn_s2d(blk.downsample.bn, _pw_s2d(x2, blk.downsample.conv))
+    else:
+        identity = x2
+    out = nnx.relu(_bn_s2d(blk.conv1.bn, _pw_s2d(x2, blk.conv1.conv)))
+    k2 = _conv3x3_kernel_s2d(blk.conv2.conv.kernel.value.astype(out.dtype))
+    y = jax.lax.conv_general_dilated(
+        out, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = nnx.relu(_bn_s2d(blk.conv2.bn, y))
+    out = _bn_s2d(blk.conv3.bn, _pw_s2d(out, blk.conv3.conv))
+    return nnx.relu(out + identity)
+
+
+def _stage_s2d_eligible(stage, x):
+    if x.shape[1] % 2 != 0:
+        return False
+    for blk in stage.blocks:
+        if not isinstance(blk, Bottleneck):
+            return False
+        if blk.conv2.conv.strides not in (1, (1, 1)):
+            return False
+        if blk.conv2.conv.feature_group_count != 1:
+            return False
+    return True
+
+
+def _stage_s2d(stage, x):
+    x2 = _s2d_h(x)
+    for blk in stage.blocks:
+        x2 = _bottleneck_s2d(blk, x2)
+    return _s2d_h_inv(x2)
 
 
 class ResNetFeatures(nnx.Module):
@@ -179,7 +303,14 @@ class ResNetFeatures(nnx.Module):
         if sg >= 1:
             c1 = jax.lax.stop_gradient(c1)
         x = max_pool2d(c1, 3, stride=2, padding=1)
-        c2 = self.layer1(x)
+        import os
+
+        if os.environ.get("SIHL_TPU_STAGE1_S2D", "0") == "1" and _stage_s2d_eligible(
+            self.layer1, x
+        ):
+            c2 = _stage_s2d(self.layer1, x)
+        else:
+            c2 = self.layer1(x)
         if sg >= 2:
             c2 = jax.lax.stop_gradient(c2)
         c3 = self.layer2(c2)

@@ -96,20 +96,35 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
                 h0.dtype
             )
             # silu in f32: Mosaic rejects bf16 logistic (vector.broadcast
-            # element-type mismatch)
-            zf = z.astype(jnp.float32)
-            h = (zf * _sigmoid_f32(zf)).astype(h0.dtype)
+            # element-type mismatch).  "bf16" mode routes through tanh in
+            # bf16 instead — half the VPU elementwise volume if supported.
+            if _SIGMOID_MODE == "bf16":
+                h = z * (jnp.tanh(z * 0.5) * 0.5 + 0.5)
+            else:
+                zf = z.astype(jnp.float32)
+                h = (zf * _sigmoid_f32(zf)).astype(h0.dtype)
         out = jnp.dot(h, wo[:], preferred_element_type=jnp.float32) + bo[
             0
         ].astype(jnp.float32)
         out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _pick_tile(m: int, cap: int = 512) -> int:
+_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "512"))
+_FWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_FWD_TILE", "2480"))
+# stash the recomputed LN outputs in bf16 in the backward kernel: ~2 MB
+# less VMEM per 880-row tile (enables bigger tiles), ~1e-3 relative noise
+# on dsc/dy grad terms (accumulation stays f32)
+_NS_BF16 = os.environ.get("SIHL_TPU_MLP_NS_BF16", "0") == "1"
+
+
+def _pick_tile(m: int, cap: int = None) -> int:
     """Largest convenient row tile dividing m (0 if none).  The backward
-    kernel holds ~5 tile-sized activation stashes in VMEM so it stays
-    <=512; the forward only streams one hidden buffer and can go wider."""
-    for tile in (2480, 2048, 1600, 1024, 880, 512, 496, 400, 256, 176, 128, 80, 64, 32, 16):
+    kernel holds ~5 tile-sized activation stashes in VMEM so its cap
+    defaults to 512 (A/B-tunable via SIHL_TPU_MLP_BWD_TILE); the forward
+    only streams one hidden buffer and can go wider."""
+    if cap is None:
+        cap = _BWD_TILE_CAP
+    for tile in (4960, 4096, 3200, 2480, 2048, 1600, 1024, 880, 512, 496, 400, 256, 176, 128, 80, 64, 32, 16):
         if tile <= cap and m % tile == 0:
             return tile
     return 0
@@ -122,7 +137,7 @@ def _pad_rows(m: int) -> int:
 
 def _fwd_pallas(x, heads, interpret: bool):
     m, d = x.shape
-    tile = _pick_tile(m, cap=2480)
+    tile = _pick_tile(m, cap=_FWD_TILE_CAP)
     num_heads = len(heads)
     num_layers = heads[0][0].shape[0]
     grid = (m // tile,)
@@ -204,11 +219,14 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
             z = (n * sc[l].astype(jnp.float32) + bi[l].astype(jnp.float32)).astype(
                 x.dtype
             )
-            ns.append(n)
+            ns.append(n.astype(jnp.bfloat16) if _NS_BF16 else n)
             zs.append(z)
             rstds.append(rstd)
-            zf = z.astype(jnp.float32)
-            h = (zf * _sigmoid_f32(zf)).astype(x.dtype)
+            if _SIGMOID_MODE == "bf16":
+                h = z * (jnp.tanh(z * 0.5) * 0.5 + 0.5)
+            else:
+                zf = z.astype(jnp.float32)
+                h = (zf * _sigmoid_f32(zf)).astype(x.dtype)
 
         g = g_ref[:].astype(jnp.float32)
         # output layer
@@ -233,7 +251,10 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
 
         for l in range(num_layers - 1, -1, -1):
             zf = zs[l].astype(jnp.float32)
-            sig = _sigmoid_f32(zf)
+            if _SIGMOID_MODE == "bf16":
+                sig = (jnp.tanh(zs[l] * 0.5) * 0.5 + 0.5).astype(jnp.float32)
+            else:
+                sig = _sigmoid_f32(zf)
             dz = dh * (sig * (1.0 + zf * (1.0 - sig)))
             dsc = jnp.sum(dz * ns[l], axis=0, keepdims=True)
             dbi = jnp.sum(dz, axis=0, keepdims=True)

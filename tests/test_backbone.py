@@ -148,6 +148,74 @@ def test_stem_space_to_depth_parity():
     np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct), atol=1e-4)
 
 
+def test_stage1_s2d_parity():
+    """The space-to-depth stage-1 execution must match the plain stage:
+    forward output, parameter gradients, and BN running-stat updates."""
+    import jax
+    import numpy as np
+    from flax import nnx
+
+    from sihl_tpu.backbones.resnet import (
+        Bottleneck,
+        _Stage,
+        _stage_s2d,
+        _stage_s2d_eligible,
+    )
+
+    rngs = nnx.Rngs(0)
+    stage = _Stage(Bottleneck, 64, 16, 3, 1, 1, 64, rngs)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 12, 64), jnp.float32)
+    assert _stage_s2d_eligible(stage, x)
+
+    other = nnx.clone(stage)
+    stage.train()
+    other.train()
+
+    va, ga = nnx.value_and_grad(lambda st, x: (st(x) ** 2).sum())(stage, x)
+    vb, gb = nnx.value_and_grad(lambda st, x: (_stage_s2d(st, x) ** 2).sum())(
+        other, x
+    )
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(nnx.state(ga)),
+        jax.tree_util.tree_leaves(nnx.state(gb)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=1e-4)
+
+    # the value_and_grad calls above ran both stages once in train mode;
+    # their running-stat updates must agree
+    for a, b in zip(
+        jax.tree_util.tree_leaves(nnx.state(stage, nnx.BatchStat)),
+        jax.tree_util.tree_leaves(nnx.state(other, nnx.BatchStat)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    stage.eval()
+    other.eval()
+    np.testing.assert_allclose(
+        np.asarray(_stage_s2d(other, x)), np.asarray(stage(x)), atol=1e-5
+    )
+
+
+def test_stage1_s2d_ineligible_cases():
+    """BasicBlock stages and odd heights fall back to the plain path."""
+    import numpy as np
+    from flax import nnx
+
+    from sihl_tpu.backbones.resnet import BasicBlock, _Stage, _stage_s2d_eligible
+
+    rngs = nnx.Rngs(0)
+    basic = _Stage(BasicBlock, 64, 64, 2, 1, 1, 64, rngs)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 64), jnp.float32)
+    assert not _stage_s2d_eligible(basic, x)
+
+    from sihl_tpu.backbones.resnet import Bottleneck
+
+    stage = _Stage(Bottleneck, 64, 16, 1, 1, 1, 64, rngs)
+    x_odd = jnp.asarray(np.random.RandomState(0).randn(1, 15, 16, 64), jnp.float32)
+    assert not _stage_s2d_eligible(stage, x_odd)
+
+
 def test_frozen_levels_paths():
     backbone = Backbone("resnet18", pretrained=False, frozen_levels=2, rngs=nnx.Rngs(0))
     # not pretrained -> freezing is a no-op, like the reference (:158-159)

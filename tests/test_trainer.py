@@ -238,17 +238,26 @@ def test_scanned_dp_matches_single_device():
     xs = jnp.asarray(rng.rand(3, 8, 32, 32, 3), jnp.float32)
     ys = jnp.asarray(rng.randint(0, 3, (3, 8)))
 
-    t1 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2})
+    # SGD, not adam: adaptive normalization rescales reassociation-level
+    # gradient noise (cross-device psum ordering) to O(lr) param steps
+    # wherever the second moment is tiny, which makes param parity
+    # meaningless.  Under SGD both losses and params stay tight.
+    kw = dict(optimizer="sgd", optimizer_kwargs={"lr": 1e-2})
+    t1 = Trainer(make_model(rngs=nnx.Rngs(0)), **kw)
     l1 = np.asarray(t1.training_steps_scanned(xs, ys)["trainer/loss"])
-    t2 = Trainer(make_model(rngs=nnx.Rngs(0)), optimizer_kwargs={"lr": 1e-2}, mesh=mesh)
+    t2 = Trainer(make_model(rngs=nnx.Rngs(0)), mesh=mesh, **kw)
     l2 = np.asarray(t2.training_steps_scanned(xs, ys)["trainer/loss"])
-    # step 1 matches tightly; later steps drift by cross-device float
-    # reassociation (same envelope as test_training_steps_scanned_matches_loop)
+    # step 1 is forward-only reassociation (~1e-5); later steps compound
+    # through BN batch stats and weight updates to ~1e-3 rel
     np.testing.assert_allclose(l1[0], l2[0], rtol=1e-4)
-    np.testing.assert_allclose(l1, l2, rtol=2e-2)
-    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"].value
-    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+    np.testing.assert_allclose(l1, l2, rtol=5e-3)
+    # per-element grads are noisier than the loss (BN-backward cancellation
+    # + per-shard conv algorithm differences); measured envelope ~2e-3 after
+    # 3 SGD steps at lr=1e-2.  A wrong loss/grad scaling (the bug class this
+    # test guards) shifts params by O(lr * K) >> this.
+    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
+    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-3)
 
 
 def test_scanned_batches_actually_sharded():

@@ -1,6 +1,6 @@
 """Measured task-quality evidence on the real chip (RESULTS.md source).
 
-Five fast synthetic-convergence checks, one per head family.  Each task
+Fast synthetic-convergence checks, one per head family.  Each task
 builds synthetic data whose signal is trivially learnable (color <->
 class, brightness <-> depth, bright squares <-> boxes/keypoints), trains
 a small model for a few hundred steps on the attached TPU, runs the real
@@ -14,7 +14,8 @@ future rounds — the analog of the reference's measured results table
 reproduced here directly because the environment has no datasets.
 
 Usage: python tools/quality_checks.py [task ...]
-Tasks: detection classification segmentation keypoints depth  (default all)
+Tasks: detection classification segmentation keypoints depth instance_seg
+quadrilaterals text multilabel regression autoencoding  (default all)
 """
 
 import json
@@ -261,12 +262,222 @@ def check_depth(steps=200):
 
 
 # metric, committed expectation, and the comparison direction
+def check_instance_seg(steps=300):
+    """Bright colored squares; mask mAP@50 under the segm COCO protocol."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.data import pad_instance_targets
+    from sihl_tpu.heads import InstanceSegmentation
+    from sihl_tpu.layers import FPN
+
+    B, S, T = 8, 256, 4
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        classes, masks = [], []
+        for b in range(B):
+            n = rng.randint(1, 3)
+            cs, ms = [], []
+            for _ in range(n):
+                w, h = rng.randint(50, 100, 2)
+                x0 = rng.randint(0, S - w)
+                y0 = rng.randint(0, S - h)
+                c = rng.randint(0, 2)
+                x[b, y0 : y0 + h, x0 : x0 + w] = (
+                    [0.9, 0.2, 0.2] if c == 0 else [0.2, 0.2, 0.9]
+                )
+                m = np.zeros((S, S), np.uint8)
+                m[y0 : y0 + h, x0 : x0 + w] = 1
+                cs.append(c)
+                ms.append(m)
+            classes.append(np.asarray(cs))
+            masks.append(np.stack(ms))
+        return x, pad_instance_targets(classes, masks, T, mask_size=(S, S))
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = InstanceSegmentation(
+        neck.out_channels, 2, bottom_level=3, top_level=5,
+        num_channels=128, num_layers=2, max_targets=T, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "mask_map_50", float(val["head0/valid/map_50"])
+
+
+def check_quadrilaterals(steps=300):
+    """Axis-aligned bright squares as quads; box-converted mAP@50."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import QuadrilateralDetection
+    from sihl_tpu.layers import FPN
+
+    B, S, T = 8, 256, 4
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        classes = np.full((B, T), -1, np.int32)
+        quads = np.zeros((B, T, 4, 2), np.float32)
+        for b in range(B):
+            n = rng.randint(1, 3)
+            for t in range(n):
+                w, h = rng.randint(50, 100, 2)
+                x0 = rng.randint(0, S - w)
+                y0 = rng.randint(0, S - h)
+                c = rng.randint(0, 2)
+                x[b, y0 : y0 + h, x0 : x0 + w] = (
+                    [0.9, 0.2, 0.2] if c == 0 else [0.2, 0.2, 0.9]
+                )
+                classes[b, t] = c
+                quads[b, t] = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]]
+        return x, {"classes": classes, "quads": quads}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = QuadrilateralDetection(
+        neck.out_channels, 2, bottom_level=3, top_level=5,
+        num_channels=128, num_layers=2, max_targets=T, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "map_50", float(val["head0/valid/map_50"])
+
+
+def check_text(steps=300):
+    """Token sequence = left-to-right colored stripes; exact-match accuracy."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.data import pad_text_targets
+    from sihl_tpu.heads import TextRecognition
+
+    B, S, NT, L = 16, 128, 4, 3
+    palette = np.asarray(
+        [[0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9], [0.9, 0.9, 0.1]],
+        np.float32,
+    )
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.15
+        texts = []
+        for b in range(B):
+            n = rng.randint(1, L + 1)
+            toks = rng.randint(0, NT, n)
+            for i, t in enumerate(toks):
+                x[b, :, i * (S // L) : i * (S // L) + S // L // 2] = palette[t]
+            texts.append(list(toks))
+        return x, {"texts": pad_text_targets(texts, L, NT)}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = TextRecognition(
+        backbone.out_channels, NT, L, level=3, num_channels=128,
+        embedding_dim=256, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "accuracy", float(val["head0/valid/accuracy"])
+
+
+def check_multilabel(steps=150):
+    """Labels = which of three tints appear in the image; accuracy."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import MultilabelClassification
+
+    B, S, C = 16, 128, 3
+    tints = np.eye(3, dtype=np.float32) * 0.8
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        y = (rng.rand(B, C) > 0.5).astype(np.float32)
+        for b in range(B):
+            for c in range(C):
+                if y[b, c]:
+                    x[b, c * 40 : c * 40 + 40, :40] += tints[c]
+        return x, {"target": y}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = MultilabelClassification(backbone.out_channels, C, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "accuracy", float(val["head0/valid/accuracy"])
+
+
+def check_regression(steps=150):
+    """Value = mean image brightness in [0, 1]; MAE."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import Regression
+
+    B, S = 16, 128
+
+    def make_batch(rng):
+        y = rng.rand(B).astype(np.float32)
+        x = (
+            rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+            + y[:, None, None, None] * 0.8
+        )
+        return x, {"targets": y}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = Regression(backbone.out_channels, 0.0, 1.0, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "mean_absolute_error", float(val["head0/valid/mean_absolute_error"])
+
+
+def check_autoencoding(steps=200):
+    """Reconstruct smooth two-tone images; MAE (reference bar: 0.06)."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import Autoencoding
+
+    B, S = 16, 128
+
+    def make_batch_ae(rng):
+        base = rng.rand(B, 1, 1, 3).astype(np.float32)
+        grad = np.linspace(0, 1, S, dtype=np.float32)[None, :, None, None]
+        x = np.clip(
+            base * (0.3 + 0.7 * grad) + rng.rand(B, S, S, 3) * 0.05, 0, 1
+        ).astype(np.float32)
+        return x, {"targets": x}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = Autoencoding(backbone.out_channels, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch_ae, steps)
+    val = _validate(trainer, make_batch_ae)
+    return "mean_absolute_error", float(val["head0/valid/mean_absolute_error"])
+
+
 TASKS = {
     "detection": (check_detection, 0.70, "ge"),
     "classification": (check_classification, 0.95, "ge"),
     "segmentation": (check_segmentation, 0.70, "ge"),
     "keypoints": (check_keypoints, 0.60, "ge"),
     "depth": (check_depth, 0.60, "le"),
+    "instance_seg": (check_instance_seg, 0.60, "ge"),
+    "quadrilaterals": (check_quadrilaterals, 0.60, "ge"),
+    "text": (check_text, 0.80, "ge"),
+    "multilabel": (check_multilabel, 0.95, "ge"),
+    "regression": (check_regression, 0.10, "le"),
+    "autoencoding": (check_autoencoding, 0.10, "le"),
 }
 
 

@@ -43,17 +43,30 @@ def measure_ceilings():
     import jax
     import jax.numpy as jnp
 
-    def amortized(fn, x, iters=20):
-        """fori_loop with carry-dependent perturbation (defeats hoisting)."""
+    def amortized(fn, x, est_iter_s):
+        """Two-point fori_loop timing: (T(n2)-T(n1))/(n2-n1) cancels the
+        ~40 ms tunnel RTT.  Iteration counts are scaled so the *delta*
+        compute is >=0.4 s (well above RTT jitter); each point is the min
+        of 3 syncs.  Carry-dependent perturbation defeats hoisting."""
 
         def body(_, c):
             return fn(c) * 1e-20 + x
 
-        f = jax.jit(lambda x0: jax.lax.fori_loop(0, iters, body, x0).sum())
-        float(f(x))  # compile+warm
-        t0 = time.perf_counter()
-        float(f(x))
-        return (time.perf_counter() - t0) / iters
+        n1 = max(2, int(0.1 / est_iter_s))
+        n2 = n1 + max(8, int(0.4 / est_iter_s))
+        times = []
+        for n in (n1, n2):
+            f = jax.jit(
+                lambda x0, n=n: jax.lax.fori_loop(0, n, body, x0).sum()
+            )
+            float(f(x))  # compile+warm
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(x))
+                samples.append(time.perf_counter() - t0)
+            times.append(min(samples))
+        return max(times[1] - times[0], 1e-12) / (n2 - n1)
 
     out = {}
     # peak bf16 matmul
@@ -63,7 +76,7 @@ def measure_ceilings():
     def mm(c):
         return c @ a
 
-    dt = amortized(mm, a)
+    dt = amortized(mm, a, est_iter_s=1e-3)
     out["peak_matmul_tflops"] = 2 * n**3 / dt / 1e12
 
     # conv classes: (name, spatial, cin, cout, kernel)
@@ -85,8 +98,9 @@ def measure_ceilings():
             # keep channel count stable for the carry
             return y[..., :ci] if co >= ci else jnp.pad(y, ((0, 0),) * 3 + ((0, ci - co),))
 
-        dt = amortized(conv, x)
-        out[f"{name}_tflops"] = 2 * BATCH * s * s * ci * co * k * k / dt / 1e12
+        flops = 2 * BATCH * s * s * ci * co * k * k
+        dt = amortized(conv, x, est_iter_s=flops / 30e12)
+        out[f"{name}_tflops"] = flops / dt / 1e12
 
     # HBM streaming (big elementwise)
     x = jnp.ones((64, 1024, 1024), jnp.bfloat16)
@@ -94,7 +108,7 @@ def measure_ceilings():
     def ew(c):
         return c * 1.000001 + 0.5
 
-    dt = amortized(ew, x)
+    dt = amortized(ew, x, est_iter_s=2 * x.size * 2 / 400e9)
     out["stream_gbps"] = 2 * x.size * 2 / dt / 1e9
     return out
 
@@ -154,24 +168,40 @@ def capture_trace(logdir):
 
 
 def load_device_events(logdir):
+    """Leaf XLA op events from the device's "XLA Ops" lane only.
+
+    The other device lanes ("Steps", "XLA Modules") carry whole-program
+    span events, and the Ops lane itself contains ``while`` container
+    events spanning each scanned step — counting any of those would
+    double the per-step total (observed: 2x).
+    """
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
     if not paths:
         raise FileNotFoundError(f"no trace.json.gz under {logdir}")
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # find pids whose XLA op events carry device counters
-    device_pids = set()
+    ops_lanes = set()
     for e in events:
-        if e.get("ph") == "X" and isinstance(e.get("args"), dict):
-            a = e["args"]
-            if "hlo_category" in a or "long_name" in a:
-                device_pids.add(e["pid"])
-    return [
-        e
-        for e in events
-        if e.get("ph") == "X" and e.get("pid") in device_pids and e.get("dur")
-    ]
+        if (
+            e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and "XLA Ops" in e.get("args", {}).get("name", "")
+        ):
+            ops_lanes.add((e["pid"], e["tid"]))
+    out = []
+    for e in events:
+        if e.get("ph") != "X" or not e.get("dur"):
+            continue
+        if (e.get("pid"), e.get("tid")) not in ops_lanes:
+            continue
+        cat = (e.get("args") or {}).get("hlo_category", "").strip()
+        if cat in ("while", "conditional", "call") or e.get("name", "").startswith(
+            ("while", "body.", "cond.")
+        ):
+            continue
+        out.append(e)
+    return out
 
 
 _SHAPE_RE = re.compile(r"(?:bf16|f32|f16|s32|u32|pred|s8|u8)\[([\d,]+)\]")
@@ -233,18 +263,21 @@ def aggregate(events):
                 except (TypeError, ValueError):
                     pass
                 break
-        if "flops" in a:
-            try:
-                b["flops"] += float(a["flops"])
-            except (TypeError, ValueError):
-                pass
+        for key in ("model_flops", "flops"):
+            if key in a:
+                try:
+                    b["flops"] += float(a[key])
+                except (TypeError, ValueError):
+                    pass
+                break
     return buckets
 
 
 CEILING_FOR = {
     # bucket -> (ceiling key, kind)
     "convs @160^2 (<=64ch)": ("conv_64ch_tflops", "tflops"),
-    "convs @160^2": ("conv_64ch_tflops", "tflops"),
+    "convs @160^2": ("conv_1x1_64_256_tflops", "tflops"),
+    "convs @320^2 (<=64ch)": ("stream_gbps", "gbps"),
     "convs @80^2": ("conv_128ch_tflops", "tflops"),
     "convs @<=40^2": ("conv_256ch_tflops", "tflops"),
     "elementwise @>=160^2 (BN/ReLU chains)": ("stream_gbps", "gbps"),
@@ -258,13 +291,33 @@ CEILING_FOR = {
 
 def main():
     out_md = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.md")
-    logdir = tempfile.mkdtemp(prefix="sihl_roofline_")
-    print("measuring machine ceilings...", flush=True)
-    ceilings = measure_ceilings()
+    # --reuse DIR: re-parse an existing trace dir (skips TPU work except the
+    # ceiling probes); --ceilings k=v,... : skip probing too.
+    reuse = None
+    ceilings_arg = None
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--reuse":
+            reuse = args.pop(0)
+        elif a == "--ceilings":
+            ceilings_arg = {
+                kv.split("=")[0]: float(kv.split("=")[1])
+                for kv in args.pop(0).split(",")
+            }
+    if ceilings_arg:
+        ceilings = ceilings_arg
+    else:
+        print("measuring machine ceilings...", flush=True)
+        ceilings = measure_ceilings()
     for k, v in ceilings.items():
         print(f"  {k}: {v:.1f}", flush=True)
-    print("tracing train step...", flush=True)
-    capture_trace(logdir)
+    if reuse:
+        logdir = reuse
+    else:
+        logdir = tempfile.mkdtemp(prefix="sihl_roofline_")
+        print("tracing train step...", flush=True)
+        capture_trace(logdir)
     events = load_device_events(logdir)
     print(f"parsed {len(events)} device events", flush=True)
     buckets = aggregate(events)
@@ -288,6 +341,22 @@ def main():
             (name, ms, b["n"] // K, gbps, tflops, ceiling_str, pct_str)
         )
 
+    # speed-of-light bound: every bucket at 100% of its measured ceiling;
+    # buckets without a ceiling (or already past the logical-bytes ceiling)
+    # are taken at their observed time, so the bound is conservative
+    bound_ms = 0.0
+    for name, b in buckets.items():
+        ms = b["us"] / 1e3 / K
+        ceiling_key, kind = CEILING_FOR.get(name, (None, None))
+        if ceiling_key and kind == "tflops" and b["flops"] > 0:
+            t = b["flops"] / K / (ceilings[ceiling_key] * 1e12) * 1e3
+            bound_ms += min(ms, t)
+        elif ceiling_key and kind == "gbps" and b["bytes"] > 0:
+            t = b["bytes"] / K / (ceilings[ceiling_key] * 1e9) * 1e3
+            bound_ms += min(ms, t)
+        else:
+            bound_ms += ms
+
     lines = [
         "# ROOFLINE — flagship step, per-block achieved vs machine ceiling",
         "",
@@ -295,7 +364,9 @@ def main():
         "steps, traced on the attached TPU. Ceilings are re-measured on the same",
         "chip in the same session by `tools/roofline_table.py` (amortized",
         "fori_loop probes). `%ceil` = achieved rate / measured machine limit for",
-        "that bucket's shape class.",
+        "that bucket's shape class. GB/s are the profiler's *logical* bytes",
+        "(operand+result sizes), so fused ops whose operands stay VMEM-resident",
+        "can legitimately exceed the HBM streaming ceiling.",
         "",
         f"Generated: {time.strftime('%Y-%m-%d %H:%M')} | device total: "
         f"{total_ms:.1f} ms/step",
@@ -320,7 +391,19 @@ def main():
             f"| {name} | {ms:.2f} | {n} | {gbps:.0f} | {tflops:.1f} "
             f"| {ceiling_str} | {pct_str} |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "## Speed-of-light bound",
+        "",
+        f"With every ceiling-mapped bucket at 100% of its measured machine",
+        f"limit (unmapped buckets at observed time): **{bound_ms:.1f} ms/step**",
+        f"= {BATCH / (bound_ms / 1e3):.0f} img/s device-side, vs"
+        f" {total_ms:.1f} ms observed ({BATCH / (total_ms / 1e3):.0f} img/s).",
+        "The residual to the 400 img/s target is the architecture-hardware",
+        "fit (sub-128-lane stage-1 shapes, BN stat passes), not scheduling",
+        "slack — see the per-bucket `%ceil` column.",
+        "",
+    ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {os.path.abspath(out_md)}")
