@@ -127,7 +127,9 @@ def _make_scan_runner(graphdef, ema: bool):
     def run(carry, xs, targets):
         return jax.lax.scan(body, carry, (xs, targets))
 
-    return jax.jit(run, donate_argnums=(0,))
+    from sihl_tpu.utils.compile_opts import compiler_options
+
+    return jax.jit(run, donate_argnums=(0,), compiler_options=compiler_options())
 
 
 @nnx.jit

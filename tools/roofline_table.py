@@ -295,16 +295,41 @@ def main():
     # ceiling probes); --ceilings k=v,... : skip probing too.
     reuse = None
     ceilings_arg = None
+    drill = None
+    keep = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
         if a == "--reuse":
             reuse = args.pop(0)
+        elif a == "--drill":
+            drill = args.pop(0)
+        elif a == "--keep":
+            keep = args.pop(0)
         elif a == "--ceilings":
             ceilings_arg = {
                 kv.split("=")[0]: float(kv.split("=")[1])
                 for kv in args.pop(0).split(",")
             }
+    if drill and not reuse:
+        print("--drill requires --reuse DIR", file=sys.stderr)
+        sys.exit(1)
+    if drill:
+        events = load_device_events(reuse)
+        per_op = defaultdict(lambda: {"us": 0.0, "n": 0, "long": ""})
+        for e in events:
+            if classify(e) != drill:
+                continue
+            o = per_op[e.get("name", "?")]
+            o["us"] += e["dur"]
+            o["n"] += 1
+            if not o["long"]:
+                o["long"] = ((e.get("args") or {}).get("long_name", ""))[:200]
+        print(f"bucket {drill!r}: {sum(o['us'] for o in per_op.values())/1e3/K:.2f} ms/step")
+        for name, o in sorted(per_op.items(), key=lambda kv: -kv[1]["us"])[:40]:
+            print(f"{o['us']/1e3/K:8.3f} ms  x{o['n']//K:<5d} {name}")
+            print(f"            {o['long']}")
+        return
     if ceilings_arg:
         ceilings = ceilings_arg
     else:
@@ -315,8 +340,9 @@ def main():
     if reuse:
         logdir = reuse
     else:
-        logdir = tempfile.mkdtemp(prefix="sihl_roofline_")
-        print("tracing train step...", flush=True)
+        logdir = keep or tempfile.mkdtemp(prefix="sihl_roofline_")
+        os.makedirs(logdir, exist_ok=True)
+        print(f"tracing train step... (logdir={logdir})", flush=True)
         capture_trace(logdir)
     events = load_device_events(logdir)
     print(f"parsed {len(events)} device events", flush=True)
