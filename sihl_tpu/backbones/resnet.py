@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from sihl_tpu.layers.convblocks import make_conv, make_norm, _rngs
+from sihl_tpu.layers.convblocks import (
+    make_conv,
+    make_norm,
+    maybe_split_norm_input,
+    _rngs,
+)
 from sihl_tpu.ops.image import max_pool2d
 
 
@@ -24,7 +29,7 @@ class _ConvBN(nnx.Module):
         self.bn = make_norm("batch", cout, 1, rngs)
 
     def __call__(self, x):
-        return self.bn(self.conv(x))
+        return self.bn(maybe_split_norm_input(self.conv(x)))
 
 
 class BasicBlock(nnx.Module):
@@ -144,7 +149,7 @@ class _Stem(nnx.Module):
             )
         else:
             y = self.conv(x)
-        return nnx.relu(self.bn(y))
+        return nnx.relu(self.bn(maybe_split_norm_input(y)))
 
 
 # -- stage-1 space-to-depth execution ---------------------------------------

@@ -9,9 +9,31 @@ level-id variant ``quadrilateral_detection.py:92-108``), flatten per-level
 reference duplicates this in every head; here it lives once.
 """
 
+import os
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
+
+# A/B switch: gather per-image anchor rows as one flat row gather over the
+# (B*A, C) view instead of take_along_axis on axis 1 of (B, A, C).  The
+# TPU trace shows XLA materializing a (B,A,C)->(A,B,C) transpose copy
+# (plus its scatter-transpose in the backward) around the axis-1 gather;
+# the flat row gather keeps everything in the (B*A, C) row-major layout
+# the fused-MLP kernel consumes anyway.  Measured before flipping default.
+_FLAT_GATHER = os.environ.get("SIHL_TPU_FLAT_GATHER", "0") == "1"
+
+
+def gather_anchor_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-image row gather from (B, A, C) features with (B, k) indices.
+
+    Semantically identical to
+    ``jnp.take_along_axis(feats, idx[..., None], axis=1)``.
+    """
+    if not _FLAT_GATHER:
+        return jnp.take_along_axis(feats, idx[..., None], axis=1)
+    b, a, c = feats.shape
+    rows = (jnp.arange(b, dtype=idx.dtype)[:, None] * a + idx).reshape(-1)
+    return feats.reshape(b * a, c)[rows].reshape(b, idx.shape[1], c)
 
 
 def _level_grid(feature) -> Tuple[jnp.ndarray, jnp.ndarray, float, float]:

@@ -151,7 +151,7 @@ class KeypointDetection(Head):
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
-        flat_feats = jnp.take_along_axis(flat_feats, loc_idxs[..., None], axis=1)
+        flat_feats = anchor_lib.gather_anchor_rows(flat_feats, loc_idxs)
 
         offsets, _ = self.get_offsets_and_scales(inputs)
         centers = offsets[:, :2][loc_idxs]
@@ -232,7 +232,7 @@ class KeypointDetection(Head):
 
         k = min(self.max_mask_positives, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)
-        pos_feats = jnp.take_along_axis(flat_feats, pos_idx[..., None], axis=1)
+        pos_feats = anchor_lib.gather_anchor_rows(flat_feats, pos_idx)
         pos_assign = jnp.clip(jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None)
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 

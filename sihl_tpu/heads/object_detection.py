@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from sihl_tpu.heads import anchors
+from sihl_tpu.heads.anchors import gather_anchor_rows
 from sihl_tpu.heads.base import Head
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
@@ -130,7 +131,7 @@ class ObjectDetection(Head):
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
-        flat_feats = jnp.take_along_axis(flat_feats, loc_idxs[..., None], axis=1)
+        flat_feats = gather_anchor_rows(flat_feats, loc_idxs)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
 
@@ -183,7 +184,7 @@ class ObjectDetection(Head):
         # gather the (static-size) positive anchors per image
         k = min(self.max_targets * self.topk, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)  # (B, k)
-        pos_feats = jnp.take_along_axis(flat_feats, pos_idx[..., None], axis=1)
+        pos_feats = gather_anchor_rows(flat_feats, pos_idx)
         pos_assign = jnp.clip(
             jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None
         )

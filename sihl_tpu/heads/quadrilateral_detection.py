@@ -159,7 +159,7 @@ class QuadrilateralDetection(Head):
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
         scores = jax.nn.sigmoid(loc_logits)
         num_instances = jnp.sum(scores > 0.5, axis=1)
-        feats = jnp.take_along_axis(feats, loc_idxs[..., None], axis=1)
+        feats = anchor_lib.gather_anchor_rows(feats, loc_idxs)
 
         quad_out, class_logits = anchor_lib.run_mlps(
             feats, [self.quad_head, self.class_head]
@@ -196,7 +196,7 @@ class QuadrilateralDetection(Head):
         # static-size positive gather
         k = min(self.max_targets * self.topk, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)
-        pos_feats = jnp.take_along_axis(feats, pos_idx[..., None], axis=1)
+        pos_feats = anchor_lib.gather_anchor_rows(feats, pos_idx)
         pos_assign = jnp.clip(jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None)
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 

@@ -15,8 +15,10 @@ convs on even inputs downsample exactly like torch (pad-then-floor).
 Layout is NHWC (TPU conv-native).
 """
 
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -25,6 +27,24 @@ from sihl_tpu.policy import compute_dtype, param_dtype
 
 def _rngs(rngs: Optional[nnx.Rngs]) -> nnx.Rngs:
     return rngs if rngs is not None else nnx.Rngs(0)
+
+
+# A/B switch: place an optimization_barrier between each conv and its
+# BatchNorm.  The TPU trace shows XLA fusing the BN stat reduces into the
+# conv epilogue, and those conv+stats fusions run ~2.7x below the
+# memory/MXU roofline (ROOFLINE.md, convs @160^2); the barrier forces the
+# conv to complete at full rate and the stats to run as a separate
+# stream-rate pass.  Measured on chip before flipping any default.
+_BN_SPLIT = os.environ.get("SIHL_TPU_BN_SPLIT", "0") == "1"
+
+
+def maybe_split_norm_input(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity; under ``SIHL_TPU_BN_SPLIT=1`` an optimization barrier
+    that keeps XLA from fusing the following norm's stat reduces into the
+    producing conv."""
+    if _BN_SPLIT:
+        return jax.lax.optimization_barrier(x)
+    return x
 
 
 def make_conv(
@@ -183,7 +203,7 @@ class ConvNormAct(nnx.Module):
         if act is not None:
             x = act(x)
         if self.norm is not None:
-            x = self.norm(x)
+            x = self.norm(maybe_split_norm_input(x))
         return x
 
 
@@ -222,7 +242,7 @@ class StandardConvNormAct(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.conv(x)
         if self.norm is not None:
-            x = self.norm(x)
+            x = self.norm(maybe_split_norm_input(x))
         act = _ACTS[self.act]
         if act is not None:
             x = act(x)

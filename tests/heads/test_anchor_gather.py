@@ -1,0 +1,53 @@
+"""Parity for the flat-row anchor gather (heads/anchors.py) and the
+conv→BN fusion-split barrier (layers/convblocks.py) — both are pure
+layout/scheduling levers and must be bit-identical to the baseline ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sihl_tpu.heads import anchors as anchor_lib
+
+
+def _flat_gather_reference(feats, idx):
+    return jnp.take_along_axis(feats, idx[..., None], axis=1)
+
+
+@pytest.mark.parametrize("b,a,c,k", [(4, 50, 8, 7), (2, 136, 16, 136), (1, 9, 4, 1)])
+def test_gather_anchor_rows_matches_take_along_axis(monkeypatch, b, a, c, k):
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.rand(b, a, c), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, a, (b, k)), jnp.int32)
+    monkeypatch.setattr(anchor_lib, "_FLAT_GATHER", True)
+    got = anchor_lib.gather_anchor_rows(feats, idx)
+    assert jnp.array_equal(got, _flat_gather_reference(feats, idx))
+    monkeypatch.setattr(anchor_lib, "_FLAT_GATHER", False)
+    got = anchor_lib.gather_anchor_rows(feats, idx)
+    assert jnp.array_equal(got, _flat_gather_reference(feats, idx))
+
+
+def test_gather_anchor_rows_grad_parity(monkeypatch):
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.rand(3, 40, 8), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 40, (3, 5)), jnp.int32)
+
+    def loss_via(fn):
+        return jax.grad(lambda f: jnp.sum(jnp.sin(fn(f, idx))))(feats)
+
+    monkeypatch.setattr(anchor_lib, "_FLAT_GATHER", True)
+    g_flat = loss_via(anchor_lib.gather_anchor_rows)
+    g_ref = loss_via(_flat_gather_reference)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_ref), rtol=0, atol=0)
+
+
+def test_bn_split_barrier_is_identity(monkeypatch):
+    from sihl_tpu.layers import convblocks
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 8, 8, 4), jnp.float32)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", True)
+    split = convblocks.maybe_split_norm_input(x)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", False)
+    plain = convblocks.maybe_split_norm_input(x)
+    assert jnp.array_equal(split, plain)
