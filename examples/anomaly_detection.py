@@ -33,7 +33,7 @@ def main():
     trainer.pretrain([next(it) for _ in range(4)])
     for step in range(args.steps):
         metrics = trainer.training_step(*next(it))
-    print("final loss:", float(metrics["trainer/loss"]))
+    print({"trainer/loss": float(metrics["trainer/loss"])})
 
     rng = np.random.RandomState(1)
     x, _ = next(it)

@@ -24,6 +24,15 @@ SMOKE = [
     "multitask.py",
 ]
 
+# SIHL_TPU_TEST_ALL_EXAMPLES=1 widens the sweep to every task script
+# (~40 min on this 1-core box, so not part of the default suite).
+if os.environ.get("SIHL_TPU_TEST_ALL_EXAMPLES", "0") == "1":
+    SMOKE = sorted(
+        p.name
+        for p in EXAMPLES.glob("*.py")
+        if p.name not in ("common.py",)
+    )
+
 
 @pytest.mark.parametrize("script", SMOKE)
 def test_example_smoke(script):
