@@ -109,12 +109,16 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
         out_ref[:] = out.astype(out_ref.dtype)
 
 
-_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "512"))
+# On-chip A/B 2026-08-18 (flagship bench, img/s): tile512/f32-ns 219.5,
+# tile1024+bf16-ns 221.0, tile2048+bf16-ns needs scoped-vmem 32M which
+# regresses the convs globally (210.8); tile880/f32-ns OOMs the 16M scoped
+# vmem.  Default = the measured winner.
+_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "1024"))
 _FWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_FWD_TILE", "2480"))
 # stash the recomputed LN outputs in bf16 in the backward kernel: ~2 MB
 # less VMEM per 880-row tile (enables bigger tiles), ~1e-3 relative noise
 # on dsc/dy grad terms (accumulation stays f32)
-_NS_BF16 = os.environ.get("SIHL_TPU_MLP_NS_BF16", "0") == "1"
+_NS_BF16 = os.environ.get("SIHL_TPU_MLP_NS_BF16", "1") == "1"
 
 
 def _pick_tile(m: int, cap: int = None) -> int:
