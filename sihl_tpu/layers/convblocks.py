@@ -29,20 +29,31 @@ def _rngs(rngs: Optional[nnx.Rngs]) -> nnx.Rngs:
     return rngs if rngs is not None else nnx.Rngs(0)
 
 
-# A/B switch: place an optimization_barrier between each conv and its
+# A/B switch: place an optimization_barrier between a conv and its
 # BatchNorm.  The TPU trace shows XLA fusing the BN stat reduces into the
-# conv epilogue, and those conv+stats fusions run ~2.7x below the
-# memory/MXU roofline (ROOFLINE.md, convs @160^2); the barrier forces the
-# conv to complete at full rate and the stats to run as a separate
-# stream-rate pass.  Measured on chip before flipping any default.
-_BN_SPLIT = os.environ.get("SIHL_TPU_BN_SPLIT", "0") == "1"
+# conv epilogue, and at large spatial sizes those conv+stats fusions run
+# 3-6x below the conv's standalone rate (ROOFLINE.md drill: the 1x1
+# 64->256 @160^2 conv+stats fusions run at 8-18 TF/s vs the 47 TF/s
+# standalone probe).  The barrier forces the conv to complete at full
+# rate and the stats to run as a separate stream-rate pass, at the cost
+# of one extra read of the conv output.  A *global* split measured as a
+# net loss (208.6 vs 218.8 img/s — the small-spatial convs fuse well and
+# barriers there only add traffic), so the switch is scoped:
+#   SIHL_TPU_BN_SPLIT=0   off (default)
+#   SIHL_TPU_BN_SPLIT=1   split every conv->norm edge
+#   SIHL_TPU_BN_SPLIT=N   (N>1) split only when max spatial dim >= N,
+#                         e.g. 80 splits the @160^2 and @80^2 convs only.
+# Shapes are static under jit, so the scoping is a compile-time choice.
+_BN_SPLIT = int(os.environ.get("SIHL_TPU_BN_SPLIT", "0") or "0")
 
 
 def maybe_split_norm_input(x: jnp.ndarray) -> jnp.ndarray:
-    """Identity; under ``SIHL_TPU_BN_SPLIT=1`` an optimization barrier
-    that keeps XLA from fusing the following norm's stat reduces into the
-    producing conv."""
-    if _BN_SPLIT:
+    """Identity; under ``SIHL_TPU_BN_SPLIT`` an optimization barrier that
+    keeps XLA from fusing the following norm's stat reduces into the
+    producing conv (optionally scoped to large spatial sizes)."""
+    if _BN_SPLIT == 1:
+        return jax.lax.optimization_barrier(x)
+    if _BN_SPLIT > 1 and x.ndim == 4 and max(x.shape[1], x.shape[2]) >= _BN_SPLIT:
         return jax.lax.optimization_barrier(x)
     return x
 

@@ -46,8 +46,31 @@ def test_bn_split_barrier_is_identity(monkeypatch):
 
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(2, 8, 8, 4), jnp.float32)
-    monkeypatch.setattr(convblocks, "_BN_SPLIT", True)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", 1)
     split = convblocks.maybe_split_norm_input(x)
-    monkeypatch.setattr(convblocks, "_BN_SPLIT", False)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", 0)
     plain = convblocks.maybe_split_norm_input(x)
     assert jnp.array_equal(split, plain)
+
+
+def test_bn_split_spatial_scoping(monkeypatch):
+    """SIHL_TPU_BN_SPLIT=N (N>1) barriers only tensors whose max spatial
+    dim is >= N; smaller maps and non-4D inputs pass through unbarriered
+    (checked via the jaxpr — values are identical either way)."""
+    from sihl_tpu.layers import convblocks
+
+    def has_barrier(fn, x):
+        # fresh lambda per call: jax caches traces by function identity,
+        # which would mask the monkeypatched _BN_SPLIT
+        return "optimization_barrier" in str(jax.make_jaxpr(lambda v: fn(v))(x))
+
+    big = jnp.zeros((1, 160, 160, 4), jnp.float32)
+    small = jnp.zeros((1, 40, 40, 4), jnp.float32)
+    flat = jnp.zeros((7, 4), jnp.float32)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", 80)
+    assert has_barrier(convblocks.maybe_split_norm_input, big)
+    assert not has_barrier(convblocks.maybe_split_norm_input, small)
+    assert not has_barrier(convblocks.maybe_split_norm_input, flat)
+    assert jnp.array_equal(convblocks.maybe_split_norm_input(big), big)
+    monkeypatch.setattr(convblocks, "_BN_SPLIT", 0)
+    assert not has_barrier(convblocks.maybe_split_norm_input, big)
