@@ -119,6 +119,18 @@ _FWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_FWD_TILE", "2480"))
 # less VMEM per 880-row tile (enables bigger tiles), ~1e-3 relative noise
 # on dsc/dy grad terms (accumulation stays f32)
 _NS_BF16 = os.environ.get("SIHL_TPU_MLP_NS_BF16", "1") == "1"
+# Per-KERNEL VMEM budget (MB) via pltpu.CompilerParams(vmem_limit_bytes=):
+# unlike the global xla_tpu_scoped_vmem_limit_kib knob (which regressed the
+# convs when raised program-wide — STATUS.md), this applies to the fused-MLP
+# custom calls only, so wider bwd tiles can be bought without touching XLA's
+# budget for the rest of the program.  0 = leave Mosaic's default.
+_VMEM_MB = int(os.environ.get("SIHL_TPU_MLP_VMEM_MB", "0") or "0")
+
+
+def _compiler_params():
+    if _VMEM_MB and _HAS_PLTPU:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB << 20)
+    return None
 
 
 def _pick_tile(m: int, cap: int = None) -> int:
@@ -183,6 +195,7 @@ def _fwd_pallas(x, heads, interpret: bool):
             bytes_accessed=x.size * x.dtype.itemsize * 2,
             transcendentals=m * d * num_layers * num_heads,
         ),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*args)
 
@@ -351,6 +364,7 @@ def _bwd_pallas(x, heads, gs, interpret: bool):
             bytes_accessed=x.size * x.dtype.itemsize * 3,
             transcendentals=2 * m * d * num_layers * num_heads,
         ),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*args)
 

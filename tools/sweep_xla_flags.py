@@ -53,6 +53,21 @@ CANDIDATES = [
     ("baseline2", "", {}),
     # -- structural env levers --
     ("stem_s2d", "", {"SIHL_TPU_STEM_S2D": "1"}),
+    ("bn_split_160", "", {"SIHL_TPU_BN_SPLIT": "160"}),
+    ("bn_split_80", "", {"SIHL_TPU_BN_SPLIT": "80"}),
+    # per-kernel VMEM budget for the fused-MLP custom calls: buy wider bwd
+    # tiles without raising the global scoped-vmem (which regressed convs)
+    (
+        "mlp_vmem64_tile2048",
+        "",
+        {"SIHL_TPU_MLP_VMEM_MB": "64", "SIHL_TPU_MLP_BWD_TILE": "2048"},
+    ),
+    (
+        "mlp_vmem96_tile4096",
+        "",
+        {"SIHL_TPU_MLP_VMEM_MB": "96", "SIHL_TPU_MLP_BWD_TILE": "4096",
+         "SIHL_TPU_MLP_FWD_TILE": "4960"},
+    ),
 ]
 
 
