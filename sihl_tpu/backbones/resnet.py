@@ -131,8 +131,52 @@ class _Stem(nnx.Module):
         self.conv = make_conv(input_channels, 64, 7, stride=2, padding=3, bias=False, rngs=rngs)
         self.bn = make_norm("batch", 64, 1, rngs)
 
-    def __call__(self, x):
+    def _fused(self, x):
+        """Fused Pallas conv+stats path (forward-only; frozen stems).
+
+        Mirrors ``nnx.BatchNorm`` exactly: f32 fast-variance stats over the
+        bf16-rounded conv output, clipped at zero, momentum running update,
+        and the bf16-rounded scale/bias promotion of flax's ``_normalize``.
+        """
+        from sihl_tpu.ops.pallas.stem import stem_conv_stats, stem_interpret
+
+        dtype = self.conv.dtype or x.dtype
+        # tangents must never reach the kernel (it has no autodiff rules);
+        # callers only take this path under a level-1 stop_gradient, so
+        # killing them here changes nothing
+        xs = jax.lax.stop_gradient(x.astype(dtype))
+        wk = jax.lax.stop_gradient(self.conv.kernel.value.astype(dtype))
+        y, s, q = stem_conv_stats(xs, wk, interpret=stem_interpret())
+        bn = self.bn
+        if bn.use_running_average:
+            mean = bn.mean[...].astype(dtype).astype(jnp.float32)
+            var = bn.var[...].astype(dtype).astype(jnp.float32)
+        else:
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            mean = s / n
+            var = jnp.maximum(0.0, q / n - mean * mean)
+            bn.mean[...] = jax.lax.stop_gradient(
+                bn.momentum * bn.mean[...] + (1 - bn.momentum) * mean
+            )
+            bn.var[...] = jax.lax.stop_gradient(
+                bn.momentum * bn.var[...] + (1 - bn.momentum) * var
+            )
+        scale = bn.scale[...].astype(dtype).astype(jnp.float32)
+        bias = bn.bias[...].astype(dtype).astype(jnp.float32)
+        mul = jax.lax.rsqrt(var + bn.epsilon) * scale
+        out = ((y.astype(jnp.float32) - mean) * mul + bias).astype(dtype)
+        return nnx.relu(out)
+
+    def __call__(self, x, fwd_only: bool = False):
         import os
+
+        if fwd_only:
+            from sihl_tpu.ops.pallas.stem import stem_fused_enabled, supported
+
+            if stem_fused_enabled() and supported(
+                x.shape, self.conv.kernel.value.shape
+            ):
+                return self._fused(x)
 
         # measured on the flagship bench (b16@640, r3): 212.5 img/s with
         # s2d vs 213.4 without — a wash (XLA handles the 3-channel stem as
@@ -301,7 +345,9 @@ class ResNetFeatures(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         sg = getattr(self, "_sg_levels", 0)
-        c1 = self.stem(x)
+        # a frozen stem is forward-only, which makes the fused Pallas
+        # conv+BN-stats path (ops/pallas/stem.py) eligible
+        c1 = self.stem(x, fwd_only=sg >= 1)
         # frozen-prefix levels carry no trainable params, so cutting the
         # gradient chain here removes their entire backward pass (the
         # high-resolution convs are the most HBM-expensive in the net)
@@ -371,7 +417,7 @@ class ResNetV2Features(ResNetFeatures):
 
     def __call__(self, x):
         sg = getattr(self, "_sg_levels", 0)
-        c1 = self.stem(x)
+        c1 = self.stem(x, fwd_only=sg >= 1)
         if sg >= 1:
             c1 = jax.lax.stop_gradient(c1)
         x = max_pool2d(c1, 3, stride=2, padding=1)
