@@ -60,9 +60,10 @@ PAD = 3
 def stem_fused_enabled() -> bool:
     """Opt-in: ``SIHL_TPU_STEM_FUSED=1`` enables the fused stem on TPU.
 
-    Default OFF — CPU parity is verified (1-2 ULP vs the XLA path) but the
-    on-chip A/B against XLA's stem conv was not completed, so the unproven
-    kernel stays out of the flagship path until measured.
+    Default OFF — measured LOSS on chip: XLA's stem conv runs the probe
+    workload in 10.66 ms vs 15.3-15.4 ms for this kernel (both row
+    tilings; tools/probe_stem_kernel.py, b16@640). CPU parity is 1-2 ULP,
+    so the kernel is kept as a correct reference implementation only.
     ``SIHL_TPU_STEM_FUSED=interpret`` forces the path on any backend in
     Pallas interpreter mode (CPU parity tests).
     """
