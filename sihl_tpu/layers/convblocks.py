@@ -86,10 +86,18 @@ def make_conv(
     )
 
 
+# SIHL_TPU_FUSED_BN=0 reverts batch norms to stock nnx.BatchNorm whose
+# autodiff backward re-reads the cotangent with standalone stat reduces
+# (~3.3 ms/step on the flagship bench — see ops/fused_bn.py).
+_FUSED_BN = os.environ.get("SIHL_TPU_FUSED_BN", "1") == "1"
+
+
 def make_norm(kind: Optional[str], num_features: int, groupnorm_groups: int, rngs):
     if kind == "batch":
+        from sihl_tpu.ops.fused_bn import FusedBatchNorm
+
         # torch BatchNorm2d defaults: momentum 0.1 (flax convention: 0.9), eps 1e-5
-        return nnx.BatchNorm(
+        return (FusedBatchNorm if _FUSED_BN else nnx.BatchNorm)(
             num_features,
             momentum=0.9,
             epsilon=1e-5,
