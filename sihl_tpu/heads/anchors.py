@@ -25,17 +25,49 @@ import jax.numpy as jnp
 _FLAT_GATHER = os.environ.get("SIHL_TPU_FLAT_GATHER", "1") == "1"
 
 
-def gather_anchor_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_anchor_rows(
+    feats: jnp.ndarray, idx: jnp.ndarray, sorted_unique: bool = False
+) -> jnp.ndarray:
     """Per-image row gather from (B, A, C) features with (B, k) indices.
 
     Semantically identical to
     ``jnp.take_along_axis(feats, idx[..., None], axis=1)``.
+
+    ``sorted_unique=True`` asserts that each image's indices are strictly
+    increasing (hence unique) — the caller must guarantee it (e.g. top-k
+    indices re-sorted ascending).  The flags propagate to the transposed
+    scatter-add in the backward, which lets XLA skip duplicate handling
+    and use an ordered update loop.
     """
     if not _FLAT_GATHER:
         return jnp.take_along_axis(feats, idx[..., None], axis=1)
     b, a, c = feats.shape
     rows = (jnp.arange(b, dtype=idx.dtype)[:, None] * a + idx).reshape(-1)
-    return feats.reshape(b * a, c)[rows].reshape(b, idx.shape[1], c)
+    flat = jnp.take(
+        feats.reshape(b * a, c),
+        rows,
+        axis=0,
+        indices_are_sorted=sorted_unique,
+        unique_indices=sorted_unique,
+    )
+    return flat.reshape(b, idx.shape[1], c)
+
+
+def sort_positives(pos_w: jnp.ndarray, pos_idx: jnp.ndarray):
+    """Reorder per-image top-k positives ascending by anchor index.
+
+    The positive-anchor losses are permutation-invariant sums, so this
+    changes nothing semantically, but it makes the downstream feature
+    gather (and its backward scatter-add) sorted-and-unique, letting XLA
+    drop duplicate handling (A/B on the flagship config: neutral, 232.6/
+    233.1 vs 232.9 img/s — kept because it is free and strictly more
+    information for the compiler).
+    """
+    order = jnp.argsort(pos_idx, axis=1)
+    return (
+        jnp.take_along_axis(pos_w, order, axis=1),
+        jnp.take_along_axis(pos_idx, order, axis=1),
+    )
 
 
 def _level_grid(feature) -> Tuple[jnp.ndarray, jnp.ndarray, float, float]:

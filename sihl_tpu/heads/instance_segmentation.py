@@ -216,7 +216,8 @@ class InstanceSegmentation(Head):
         # static-size positive gather (top rel-IoU per image)
         k = min(self.max_mask_positives, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)  # (B, k)
-        pos_feats = anchor_lib.gather_anchor_rows(flat_feats, pos_idx)
+        pos_w, pos_idx = anchor_lib.sort_positives(pos_w, pos_idx)
+        pos_feats = anchor_lib.gather_anchor_rows(flat_feats, pos_idx, sorted_unique=True)
         pos_assign = jnp.clip(jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None)
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 

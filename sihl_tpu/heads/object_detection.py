@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from sihl_tpu.heads import anchors
-from sihl_tpu.heads.anchors import gather_anchor_rows
+from sihl_tpu.heads.anchors import gather_anchor_rows, sort_positives
 from sihl_tpu.heads.base import Head
 from sihl_tpu.layers.convblocks import StandardConvNormAct, _rngs
 from sihl_tpu.layers.mlp import MLP
@@ -181,10 +181,14 @@ class ObjectDetection(Head):
         rel_sum = jnp.maximum(jnp.sum(rel_iou), 1e-6)
         iou_loss = jnp.sum((iou_preds - rel_iou) ** 2) / rel_sum
 
-        # gather the (static-size) positive anchors per image
+        # gather the (static-size) positive anchors per image; re-sorted
+        # ascending so the feature gather (and its backward scatter-add)
+        # is sorted-and-unique — the losses below are permutation-
+        # invariant sums, so this is free semantically
         k = min(self.max_targets * self.topk, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)  # (B, k)
-        pos_feats = gather_anchor_rows(flat_feats, pos_idx)
+        pos_w, pos_idx = sort_positives(pos_w, pos_idx)
+        pos_feats = gather_anchor_rows(flat_feats, pos_idx, sorted_unique=True)
         pos_assign = jnp.clip(
             jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None
         )

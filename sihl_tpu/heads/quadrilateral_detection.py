@@ -196,7 +196,8 @@ class QuadrilateralDetection(Head):
         # static-size positive gather
         k = min(self.max_targets * self.topk, rel_iou.shape[1])
         pos_w, pos_idx = jax.lax.top_k(rel_iou, k)
-        pos_feats = anchor_lib.gather_anchor_rows(feats, pos_idx)
+        pos_w, pos_idx = anchor_lib.sort_positives(pos_w, pos_idx)
+        pos_feats = anchor_lib.gather_anchor_rows(feats, pos_idx, sorted_unique=True)
         pos_assign = jnp.clip(jnp.take_along_axis(assignment, pos_idx, axis=1), 0, None)
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 

@@ -74,3 +74,39 @@ def test_bn_split_spatial_scoping(monkeypatch):
     assert jnp.array_equal(convblocks.maybe_split_norm_input(big), big)
     monkeypatch.setattr(convblocks, "_BN_SPLIT", 0)
     assert not has_barrier(convblocks.maybe_split_norm_input, big)
+
+
+def test_sort_positives_preserves_pairs_and_sorts():
+    import jax.numpy as jnp
+    import numpy as np
+    from sihl_tpu.heads.anchors import sort_positives
+
+    rng = np.random.RandomState(0)
+    idx = np.stack([rng.permutation(100)[:7] for _ in range(3)])
+    w = rng.rand(3, 7).astype(np.float32)
+    w2, idx2 = sort_positives(jnp.asarray(w), jnp.asarray(idx))
+    w2, idx2 = np.asarray(w2), np.asarray(idx2)
+    for b in range(3):
+        assert (np.diff(idx2[b]) > 0).all()
+        assert dict(zip(idx[b], w[b])) == dict(zip(idx2[b], w2[b]))
+
+
+def test_gather_anchor_rows_sorted_unique_parity():
+    import jax.numpy as jnp
+    import numpy as np
+    from sihl_tpu.heads.anchors import gather_anchor_rows
+
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 50, 8), jnp.float32)
+    idx = jnp.asarray(np.sort(np.stack([rng.permutation(50)[:5] for _ in range(2)]), axis=1))
+    a = gather_anchor_rows(feats, idx)
+    b = gather_anchor_rows(feats, idx, sorted_unique=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # backward (scatter-add transpose) parity
+    import jax
+
+    g1 = jax.grad(lambda f: (gather_anchor_rows(f, idx) ** 2).sum())(feats)
+    g2 = jax.grad(
+        lambda f: (gather_anchor_rows(f, idx, sorted_unique=True) ** 2).sum()
+    )(feats)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
