@@ -24,6 +24,21 @@ import jax.numpy as jnp
 # default ON; set SIHL_TPU_FLAT_GATHER=0 to restore take_along_axis.
 _FLAT_GATHER = os.environ.get("SIHL_TPU_FLAT_GATHER", "1") == "1"
 
+# Pad the flattened anchor dim to a multiple of this at concat time
+# (0 disables).  COCO-scale anchor counts (e.g. 8525 for levels 3-7 at
+# 640px) are not sublane-aligned, so every (B, A, C) <-> (B*A, C) reshape
+# around the fused-MLP kernel is a real relayout copy (~0.37 ms/step of
+# pure HBM round-trips on the flagship trace: reshape.2285/.2308 in
+# ROOFLINE.md's data-formatting bucket).  With A padded to a multiple of
+# 256 the reshape is a free bitcast AND the backward kernel's row count
+# becomes divisible by its preferred 1024-row tile.  Zero-padded rows are
+# sliced off every dense MLP output (``run_mlps(num_valid=...)``), never
+# enter gathers (indices < A), and contribute exactly zero cotangent, so
+# outputs and gradients are bit-identical to the unpadded program.
+# On-chip A/B 2026-08-19 (flagship bench): pad256 + 512-row bwd tiles
+# 237.0/237.1 img/s vs unpadded 235.6 — default ON.
+_ANCHOR_PAD = int(os.environ.get("SIHL_TPU_ANCHOR_PAD", "256") or "0")
+
 
 def gather_anchor_rows(
     feats: jnp.ndarray, idx: jnp.ndarray, sorted_unique: bool = False
@@ -106,10 +121,23 @@ def cell_centers_with_levels(inputs, levels) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.concatenate(rel_offsets), jnp.concatenate(level_ids)
 
 
+def num_anchors(inputs, levels) -> int:
+    """True (unpadded) anchor count over ``levels`` — the anchor-axis
+    length of :func:`cell_anchors`, for slicing padded MLP outputs."""
+    return sum(inputs[level].shape[1] * inputs[level].shape[2] for level in levels)
+
+
 def flatten_laterals(inputs, levels, laterals, num_channels, extra=None):
-    """Apply per-level 1x1 laterals and flatten into one (B, A, C) anchor
+    """Apply per-level 1x1 laterals and flatten into one (B, Ap, C) anchor
     list; ``extra`` is an optional broadcastable addend (the quad head's
-    global context)."""
+    global context).
+
+    ``Ap`` is the true anchor count padded up to ``SIHL_TPU_ANCHOR_PAD``
+    (zero rows appended by the same concatenate that builds the list, so
+    the padding costs no extra pass).  Callers slice dense per-anchor MLP
+    outputs back to the true count via ``run_mlps(..., num_valid=A)``;
+    anchor-row gathers are unaffected (indices are always < A).
+    """
     feats = []
     for level, lateral in zip(levels, laterals):
         f = lateral(inputs[level])
@@ -117,15 +145,24 @@ def flatten_laterals(inputs, levels, laterals, num_channels, extra=None):
             f = f + extra
         feats.append(f)
     b = feats[0].shape[0]
-    return jnp.concatenate([x.reshape(b, -1, num_channels) for x in feats], axis=1)
+    flat = [x.reshape(b, -1, num_channels) for x in feats]
+    if _ANCHOR_PAD:
+        a = sum(x.shape[1] for x in flat)
+        pad = (-a) % _ANCHOR_PAD
+        if pad:
+            flat.append(jnp.zeros((b, pad, num_channels), flat[0].dtype))
+    return jnp.concatenate(flat, axis=1)
 
 
-def run_mlps(x, mlps) -> List[jnp.ndarray]:
+def run_mlps(x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
     """Run several per-anchor MLPs over shared (B, A, C) features.
 
     On TPU this is one fused Pallas pass per call — every MLP's weights
     live in VMEM and hidden activations never touch HBM
     (``ops/pallas/mlp.py``); elsewhere the plain module chain.
+
+    ``num_valid`` slices the anchor axis of every output back to the true
+    anchor count when ``x`` carries :func:`flatten_laterals` padding.
     """
     from sihl_tpu.ops import pallas as P
 
@@ -135,4 +172,7 @@ def run_mlps(x, mlps) -> List[jnp.ndarray]:
         outs = P.fused_mlps(x2, mlps)
     else:
         outs = [m(x2) for m in mlps]
-    return [o.reshape(b, a, -1) for o in outs]
+    outs = [o.reshape(b, a, -1) for o in outs]
+    if num_valid is not None and num_valid != a:
+        outs = [o[:, :num_valid] for o in outs]
+    return outs

@@ -145,7 +145,11 @@ class KeypointDetection(Head):
     def __call__(self, inputs, output_heatmaps: bool = False):
         batch, full_h, full_w = inputs[0].shape[0], inputs[0].shape[1], inputs[0].shape[2]
         flat_feats = self.flat_features(inputs)
-        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        (loc_out,) = anchor_lib.run_mlps(
+            flat_feats,
+            [self.loc_head],
+            num_valid=anchor_lib.num_anchors(inputs, self.levels),
+        )
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
@@ -223,7 +227,11 @@ class KeypointDetection(Head):
         )(boxes, valid)
 
         flat_feats = self.flat_features(inputs)
-        (loc_out,) = anchor_lib.run_mlps(flat_feats, [self.loc_head])
+        (loc_out,) = anchor_lib.run_mlps(
+            flat_feats,
+            [self.loc_head],
+            num_valid=anchor_lib.num_anchors(inputs, self.levels),
+        )
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_target = (rel_iou == 1.0).astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)

@@ -103,8 +103,8 @@ class ObjectDetection(Head):
             inputs, self.levels, self.laterals, self.num_channels
         )
 
-    def _mlp_outputs(self, x, mlps) -> List[jnp.ndarray]:
-        return anchors.run_mlps(x, mlps)
+    def _mlp_outputs(self, x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
+        return anchors.run_mlps(x, mlps, num_valid=num_valid)
 
     def get_saliency(self, inputs) -> jnp.ndarray:
         """Max location-probability over levels, upsampled to the bottom
@@ -127,7 +127,9 @@ class ObjectDetection(Head):
         flat_feats = self.flat_features(inputs)
         offsets, scales = self.get_offsets_and_scales(inputs)
 
-        (loc_out,) = self._mlp_outputs(flat_feats, [self.loc_head])
+        (loc_out,) = self._mlp_outputs(
+            flat_feats, [self.loc_head], num_valid=offsets.shape[0]
+        )
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
@@ -165,7 +167,9 @@ class ObjectDetection(Head):
         flat_feats = self.flat_features(inputs)
 
         # location + iou heads, dense over all anchors — one fused pass
-        loc_out, iou_out = self._mlp_outputs(flat_feats, [self.loc_head, self.iou_head])
+        loc_out, iou_out = self._mlp_outputs(
+            flat_feats, [self.loc_head, self.iou_head], num_valid=offsets.shape[0]
+        )
 
         # location loss (fp32)
         loc_logits = loc_out[..., 0].astype(jnp.float32)

@@ -153,7 +153,11 @@ class QuadrilateralDetection(Head):
         feats = self.get_features(inputs)
         rel_offsets, levels = self.get_offsets_and_levels(inputs)
 
-        (loc_out,) = anchor_lib.run_mlps(feats, [self.loc_head])
+        (loc_out,) = anchor_lib.run_mlps(
+            feats,
+            [self.loc_head],
+            num_valid=anchor_lib.num_anchors(inputs, self.levels),
+        )
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         num_slots = min(self.max_instances, loc_logits.shape[1])
         loc_logits, loc_idxs = jax.lax.top_k(loc_logits, num_slots)
@@ -229,7 +233,11 @@ class QuadrilateralDetection(Head):
         class_loss = 10.0 * jnp.sum(pos_w * focal) / w_sum
 
         # location loss (reference :210-216)
-        (loc_out,) = anchor_lib.run_mlps(feats, [self.loc_head])
+        (loc_out,) = anchor_lib.run_mlps(
+            feats,
+            [self.loc_head],
+            num_valid=anchor_lib.num_anchors(inputs, self.levels),
+        )
         loc_logits = loc_out[..., 0].astype(jnp.float32)
         loc_bce = binary_cross_entropy_with_logits(loc_logits, loc_target)
         loc_loss = jnp.sum(loc_bce) / jnp.maximum(jnp.sum(loc_target), 1e-6)

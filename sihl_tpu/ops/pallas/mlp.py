@@ -112,8 +112,12 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
 # On-chip A/B 2026-08-18 (flagship bench, img/s): tile512/f32-ns 219.5,
 # tile1024+bf16-ns 221.0, tile2048+bf16-ns needs scoped-vmem 32M which
 # regresses the convs globally (210.8); tile880/f32-ns OOMs the 16M scoped
-# vmem.  Default = the measured winner.
-_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "1024"))
+# vmem.  2026-08-19: with SIHL_TPU_ANCHOR_PAD=256 the row count becomes
+# 2^13-divisible, a 1024-row bwd tile overflows the 16M scoped vmem by
+# 2.4M (and buying it back with SIHL_TPU_MLP_VMEM_MB=24 measured 183 —
+# a big loss), so the default cap is 512: pad+tile512 measured
+# 237.0/237.1 vs 235.6 img/s for unpadded+tile880.
+_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "512"))
 _FWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_FWD_TILE", "2480"))
 # stash the recomputed LN outputs in bf16 in the backward kernel: ~2 MB
 # less VMEM per 880-row tile (enables bigger tiles), ~1e-3 relative noise
