@@ -19,6 +19,7 @@ Orchestration kept host-side, mirroring the reference:
   ``pretrain_init/pretrain_step/pretrain_end`` head hooks.
 """
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -124,8 +125,13 @@ def _make_scan_runner(graphdef, ema: bool):
             return (new_state, ema_params, decay), metrics
         return new_state, metrics
 
+    # unroll>1 replicates the step body so XLA can overlap one step's
+    # tail (param prefetch copies, async-dones) with the next step's
+    # head at the cost of program size; A/B-tunable, default 1
+    unroll = int(os.environ.get("SIHL_TPU_SCAN_UNROLL", "1") or "1")
+
     def run(carry, xs, targets):
-        return jax.lax.scan(body, carry, (xs, targets))
+        return jax.lax.scan(body, carry, (xs, targets), unroll=unroll)
 
     from sihl_tpu.utils.compile_opts import compiler_options
 
