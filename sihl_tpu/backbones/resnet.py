@@ -145,7 +145,7 @@ class _Stem(nnx.Module):
         # callers only take this path under a level-1 stop_gradient, so
         # killing them here changes nothing
         xs = jax.lax.stop_gradient(x.astype(dtype))
-        wk = jax.lax.stop_gradient(self.conv.kernel.value.astype(dtype))
+        wk = jax.lax.stop_gradient(self.conv.kernel[...].astype(dtype))
         y, s, q = stem_conv_stats(xs, wk, interpret=stem_interpret())
         bn = self.bn
         if bn.use_running_average:
@@ -174,7 +174,7 @@ class _Stem(nnx.Module):
             from sihl_tpu.ops.pallas.stem import stem_fused_enabled, supported
 
             if stem_fused_enabled() and supported(
-                x.shape, self.conv.kernel.value.shape
+                x.shape, self.conv.kernel[...].shape
             ):
                 return self._fused(x)
 
@@ -189,7 +189,7 @@ class _Stem(nnx.Module):
         ):
             dtype = self.conv.dtype or x.dtype
             y = _stem_space_to_depth(
-                x.astype(dtype), self.conv.kernel.value.astype(dtype)
+                x.astype(dtype), self.conv.kernel[...].astype(dtype)
             )
         else:
             y = self.conv(x)
@@ -265,7 +265,7 @@ def _pw_s2d(x2, conv):
     the phase into the row dim and contract over C only.
     """
     b, h2, w, c2 = x2.shape
-    wk = conv.kernel.value
+    wk = conv.kernel[...]
     c = wk.shape[2]
     wk = wk[0, 0].astype(x2.dtype)
     y = jnp.einsum("bhwpc,cd->bhwpd", x2.reshape(b, h2, w, 2, c), wk)
@@ -286,7 +286,7 @@ def _bottleneck_s2d(blk, x2):
     else:
         identity = x2
     out = nnx.relu(_bn_s2d(blk.conv1.bn, _pw_s2d(x2, blk.conv1.conv)))
-    k2 = _conv3x3_kernel_s2d(blk.conv2.conv.kernel.value.astype(out.dtype))
+    k2 = _conv3x3_kernel_s2d(blk.conv2.conv.kernel[...].astype(out.dtype))
     y = jax.lax.conv_general_dilated(
         out, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

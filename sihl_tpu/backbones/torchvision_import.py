@@ -282,32 +282,32 @@ def load_state_dict(features, name: str, sd, input_channels: int = 3) -> None:
                 if kind == "convb":
                     used.add(f"{key}.bias")
                 continue
-            kh, kw, ci, co = dst.kernel.value.shape
-            dst.kernel.value = _to_hwio(take(f"{key}.weight", (co, ci, kh, kw)))
+            kh, kw, ci, co = dst.kernel[...].shape
+            dst.kernel[...] = _to_hwio(take(f"{key}.weight", (co, ci, kh, kw)))
             if kind == "convb":
-                dst.bias.value = take(f"{key}.bias", (co,))
+                dst.bias[...] = take(f"{key}.bias", (co,))
         elif kind == "bn":
-            c = dst.scale.value.shape
-            dst.scale.value = take(f"{key}.weight", c)
-            dst.bias.value = take(f"{key}.bias", c)
-            dst.mean.value = take(f"{key}.running_mean", c)
-            dst.var.value = take(f"{key}.running_var", c)
+            c = dst.scale[...].shape
+            dst.scale[...] = take(f"{key}.weight", c)
+            dst.bias[...] = take(f"{key}.bias", c)
+            dst.mean[...] = take(f"{key}.running_mean", c)
+            dst.var[...] = take(f"{key}.running_var", c)
         elif kind == "ln":
-            c = dst.scale.value.shape
-            dst.scale.value = take(f"{key}.weight", c)
-            dst.bias.value = take(f"{key}.bias", c)
+            c = dst.scale[...].shape
+            dst.scale[...] = take(f"{key}.weight", c)
+            dst.bias[...] = take(f"{key}.bias", c)
         elif kind == "linear":
-            ci, co = dst.kernel.value.shape
-            dst.kernel.value = np.ascontiguousarray(take(f"{key}.weight", (co, ci)).T)
-            dst.bias.value = take(f"{key}.bias", (co,))
+            ci, co = dst.kernel[...].shape
+            dst.kernel[...] = np.ascontiguousarray(take(f"{key}.weight", (co, ci)).T)
+            dst.bias[...] = take(f"{key}.bias", (co,))
         elif kind == "param":
             t = take(key)
-            if t.size != dst.value.size:
+            if t.size != dst[...].size:
                 raise RuntimeError(
                     f"weight import for {name}: {key!r} has {t.size} elements, "
-                    f"native module expects {dst.value.size}"
+                    f"native module expects {dst[...].size}"
                 )
-            dst.value = t.reshape(dst.value.shape)
+            dst[...] = t.reshape(dst[...].shape)
         else:  # pragma: no cover
             raise AssertionError(kind)
 
@@ -336,21 +336,21 @@ def dump_state_dict(features, name: str) -> Dict[str, np.ndarray]:
     for kind, dst, key in walker(features):
         kind = kind.replace("_first", "")
         if kind in ("conv", "convb"):
-            sd[f"{key}.weight"] = _to_oihw(np.asarray(dst.kernel.value))
+            sd[f"{key}.weight"] = _to_oihw(np.asarray(dst.kernel[...]))
             if kind == "convb":
-                sd[f"{key}.bias"] = np.asarray(dst.bias.value)
+                sd[f"{key}.bias"] = np.asarray(dst.bias[...])
         elif kind == "bn":
-            sd[f"{key}.weight"] = np.asarray(dst.scale.value)
-            sd[f"{key}.bias"] = np.asarray(dst.bias.value)
-            sd[f"{key}.running_mean"] = np.asarray(dst.mean.value)
-            sd[f"{key}.running_var"] = np.asarray(dst.var.value)
+            sd[f"{key}.weight"] = np.asarray(dst.scale[...])
+            sd[f"{key}.bias"] = np.asarray(dst.bias[...])
+            sd[f"{key}.running_mean"] = np.asarray(dst.mean[...])
+            sd[f"{key}.running_var"] = np.asarray(dst.var[...])
         elif kind == "ln":
-            sd[f"{key}.weight"] = np.asarray(dst.scale.value)
-            sd[f"{key}.bias"] = np.asarray(dst.bias.value)
+            sd[f"{key}.weight"] = np.asarray(dst.scale[...])
+            sd[f"{key}.bias"] = np.asarray(dst.bias[...])
         elif kind == "linear":
-            sd[f"{key}.weight"] = np.ascontiguousarray(np.asarray(dst.kernel.value).T)
-            sd[f"{key}.bias"] = np.asarray(dst.bias.value)
+            sd[f"{key}.weight"] = np.ascontiguousarray(np.asarray(dst.kernel[...]).T)
+            sd[f"{key}.bias"] = np.asarray(dst.bias[...])
         elif kind == "param":
             # torchvision stores layer_scale as (C, 1, 1)
-            sd[key] = np.asarray(dst.value).reshape(-1, 1, 1)
+            sd[key] = np.asarray(dst[...]).reshape(-1, 1, 1)
     return sd

@@ -154,7 +154,7 @@ def flatten_laterals(inputs, levels, laterals, num_channels, extra=None):
     return jnp.concatenate(flat, axis=1)
 
 
-def run_mlps(x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
+def run_mlps(x, mlps, *, num_valid: int) -> List[jnp.ndarray]:
     """Run several per-anchor MLPs over shared (B, A, C) features.
 
     On TPU this is one fused Pallas pass per call — every MLP's weights
@@ -162,8 +162,17 @@ def run_mlps(x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
     (``ops/pallas/mlp.py``); elsewhere the plain module chain.
 
     ``num_valid`` slices the anchor axis of every output back to the true
-    anchor count when ``x`` carries :func:`flatten_laterals` padding.
+    anchor count when ``x`` carries :func:`flatten_laterals` padding.  It
+    is REQUIRED (pass ``x.shape[1]`` for inputs known to be unpadded,
+    e.g. gathered anchor rows) so a dense call over padded features can
+    never silently keep zero-pad rows in its outputs — padded logits
+    entering ``top_k`` could select pad rows for heads without the -5
+    loc bias (advisor finding, round 3).
     """
+    assert isinstance(num_valid, int) and 0 < num_valid <= x.shape[1], (
+        num_valid,
+        x.shape,
+    )
     from sihl_tpu.ops import pallas as P
 
     b, a, c = x.shape
@@ -173,6 +182,6 @@ def run_mlps(x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
     else:
         outs = [m(x2) for m in mlps]
     outs = [o.reshape(b, a, -1) for o in outs]
-    if num_valid is not None and num_valid != a:
+    if num_valid != a:
         outs = [o[:, :num_valid] for o in outs]
     return outs

@@ -178,7 +178,7 @@ class InstanceSegmentation(Head):
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
         class_logits, dyn = anchor_lib.run_mlps(
-            flat_feats, [self.cls_head, self.kernel_head]
+            flat_feats, [self.cls_head, self.kernel_head], num_valid=flat_feats.shape[1]
         )
         masks = jax.nn.sigmoid(self._decode_masks(mask_feats, grid, centers, dyn))
 
@@ -234,7 +234,7 @@ class InstanceSegmentation(Head):
         grid = self._mask_grid(inputs)
         centers = offsets[:, :2][pos_idx]  # (B, k, 2)
         class_logits, dyn = anchor_lib.run_mlps(
-            pos_feats, [self.cls_head, self.kernel_head]
+            pos_feats, [self.cls_head, self.kernel_head], num_valid=pos_feats.shape[1]
         )
         mask_logits = self._decode_masks(mask_feats, grid, centers, dyn)
         mask_preds = jax.nn.sigmoid(mask_logits)  # (B, k, h, w)

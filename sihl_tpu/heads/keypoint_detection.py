@@ -162,7 +162,7 @@ class KeypointDetection(Head):
         mask_feats = self.mask_head(self.mask_lateral(inputs[self.mask_level]))
         grid = self._mask_grid(inputs)
         presence_out, dyn = anchor_lib.run_mlps(
-            flat_feats, [self.presence_head, self.kernel_head]
+            flat_feats, [self.presence_head, self.kernel_head], num_valid=flat_feats.shape[1]
         )
         heatmaps = self._decode_heatmaps(mask_feats, grid, centers, dyn)
         b, i, mh, mw, k = heatmaps.shape
@@ -247,7 +247,7 @@ class KeypointDetection(Head):
 
         # presence loss
         presence_out, dyn = anchor_lib.run_mlps(
-            pos_feats, [self.presence_head, self.kernel_head]
+            pos_feats, [self.presence_head, self.kernel_head], num_valid=pos_feats.shape[1]
         )
         presence_logits = presence_out.astype(jnp.float32)
         target_presence = jnp.take_along_axis(

@@ -103,8 +103,10 @@ class ObjectDetection(Head):
             inputs, self.levels, self.laterals, self.num_channels
         )
 
-    def _mlp_outputs(self, x, mlps, num_valid: int = None) -> List[jnp.ndarray]:
-        return anchors.run_mlps(x, mlps, num_valid=num_valid)
+    def _mlp_outputs(self, x, mlps, num_valid: Optional[int] = None) -> List[jnp.ndarray]:
+        # num_valid=None means "x is known unpadded" (e.g. gathered rows)
+        nv = x.shape[1] if num_valid is None else num_valid
+        return anchors.run_mlps(x, mlps, num_valid=nv)
 
     def get_saliency(self, inputs) -> jnp.ndarray:
         """Max location-probability over levels, upsampled to the bottom

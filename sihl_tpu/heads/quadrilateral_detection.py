@@ -166,7 +166,7 @@ class QuadrilateralDetection(Head):
         feats = anchor_lib.gather_anchor_rows(feats, loc_idxs)
 
         quad_out, class_logits = anchor_lib.run_mlps(
-            feats, [self.quad_head, self.class_head]
+            feats, [self.quad_head, self.class_head], num_valid=feats.shape[1]
         )
         offsets = rel_offsets[loc_idxs]  # (B, I, 8)
         quad_preds = jnp.tanh(quad_out.astype(jnp.float32)) + offsets
@@ -206,7 +206,7 @@ class QuadrilateralDetection(Head):
         w_sum = jnp.maximum(jnp.sum(pos_w), 1e-6)
 
         quad_out, class_logits = anchor_lib.run_mlps(
-            pos_feats, [self.quad_head, self.class_head]
+            pos_feats, [self.quad_head, self.class_head], num_valid=pos_feats.shape[1]
         )
 
         # quad L1 loss (reference :180-196)

@@ -49,7 +49,7 @@ class MLP(nnx.Module):
                 )
         if final_bias_init is not None:
             last = self.linears[-1]
-            last.bias.value = jnp.full_like(last.bias.value, final_bias_init)
+            last.bias[...] = jnp.full_like(last.bias[...], final_bias_init)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, linear in enumerate(self.linears):

@@ -117,7 +117,16 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
 # 2.4M (and buying it back with SIHL_TPU_MLP_VMEM_MB=24 measured 183 —
 # a big loss), so the default cap is 512: pad+tile512 measured
 # 237.0/237.1 vs 235.6 img/s for unpadded+tile880.
-_BWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_BWD_TILE", "512"))
+# The bwd tile cap is coupled to SIHL_TPU_ANCHOR_PAD (heads/anchors.py):
+# with the anchor axis padded to 256 the row counts are 2^13-divisible and
+# a 1024-row tile overflows the 16M scoped vmem, so the default is 512;
+# with padding off the row counts only divide 880 and the measured-best
+# tile is 1024 (cap admits 880).  A user-set combination of ANCHOR_PAD=256
+# with BWD_TILE>=1024 is the documented scoped-VMEM-overflow pair.
+_BWD_TILE_CAP = int(
+    os.environ.get("SIHL_TPU_MLP_BWD_TILE")
+    or ("512" if int(os.environ.get("SIHL_TPU_ANCHOR_PAD", "256") or "0") else "1024")
+)
 _FWD_TILE_CAP = int(os.environ.get("SIHL_TPU_MLP_FWD_TILE", "2480"))
 # stash the recomputed LN outputs in bf16 in the backward kernel: ~2 MB
 # less VMEM per 880-row tile (enables bigger tiles), ~1e-3 relative noise
@@ -424,12 +433,12 @@ def pack_mlp_params(mlp, compute_dtype=jnp.bfloat16):
     (wh, bh, sc, bi, wo, bo) tuple the kernel consumes."""
     linears = list(mlp.linears)
     norms = list(mlp.norms)
-    wh = jnp.stack([l.kernel.value for l in linears[:-1]]).astype(compute_dtype)
-    bh = jnp.stack([l.bias.value for l in linears[:-1]]).astype(jnp.float32)
-    sc = jnp.stack([n.scale.value for n in norms]).astype(jnp.float32)
-    bi = jnp.stack([n.bias.value for n in norms]).astype(jnp.float32)
-    wo = linears[-1].kernel.value.astype(compute_dtype)
-    bo = linears[-1].bias.value.astype(jnp.float32)[None, :]
+    wh = jnp.stack([l.kernel[...] for l in linears[:-1]]).astype(compute_dtype)
+    bh = jnp.stack([l.bias[...] for l in linears[:-1]]).astype(jnp.float32)
+    sc = jnp.stack([n.scale[...] for n in norms]).astype(jnp.float32)
+    bi = jnp.stack([n.bias[...] for n in norms]).astype(jnp.float32)
+    wo = linears[-1].kernel[...].astype(compute_dtype)
+    bo = linears[-1].bias[...].astype(jnp.float32)[None, :]
     return (wh, bh, sc, bi, wo, bo)
 
 
@@ -448,7 +457,7 @@ def supported(x_2d, mlps) -> bool:
             return False
         depths.add(len(linears))
         for l in linears[:-1]:
-            if l.kernel.value.shape != (d, d):
+            if l.kernel[...].shape != (d, d):
                 return False
     # the kernels index every head's stacked hidden weights with head 0's
     # layer count — mixed depths would truncate or over-read
