@@ -55,6 +55,40 @@ def _sigmoid_f32(zf):
     return jax.nn.sigmoid(zf)
 
 
+# VPU-lean layer math (the kernel is VPU-bound, not matmul-bound: the
+# bias-only probe floor is 1.01 ms vs 1.81 ms with LN+SiLU —
+# tools/probe_mlp_pipeline.py).  Two rewrites, both value-preserving up to
+# f32 reassociation:
+#   * LN statistics in ONE data pass: var = E[y^2] - E[y]^2 (flax
+#     BatchNorm's "fast variance") instead of a second (y-mu)^2 pass;
+#   * the normalize+affine chain folded to two FMA-shaped passes:
+#     z = (y*r)*sc + (bi - (mu*r)*sc).
+# The backward kernel additionally stashes the recomputed sigmoid in bf16
+# so the backward sweep does not re-evaluate the transcendental (the
+# single most expensive VPU op in the kernel).
+_VPU_LEAN = os.environ.get("SIHL_TPU_MLP_VPU_LEAN", "1") == "1"
+
+
+def _ln_affine(y, sc_f32, bi_f32, want_n=False):
+    """(z_f32, n_f32 | None, rstd) for LayerNorm(y)*sc+bi over the last axis."""
+    if _VPU_LEAN:
+        mu = y.mean(axis=-1, keepdims=True)
+        musq = (y * y).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(musq - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + _LN_EPS)
+        mr = mu * rstd  # (rows, 1) — cheap
+        t = y * rstd  # one broadcast mul
+        n = (t - mr) if want_n else None
+        z = t * sc_f32 + (bi_f32 - mr * sc_f32)
+        return z, n, rstd
+    mu = y.mean(axis=-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    n = (y - mu) * rstd
+    z = n * sc_f32 + bi_f32
+    return z, (n if want_n else None), rstd
+
+
 # -- pure-JAX reference (fallback + parity oracle) ---------------------------
 
 
@@ -89,12 +123,10 @@ def _fwd_kernel(x_ref, *refs, num_heads, num_layers):
             y = jnp.dot(
                 h, wh[l], preferred_element_type=jnp.float32
             ) + bh[l].astype(jnp.float32)
-            mu = y.mean(axis=-1, keepdims=True)
-            var = ((y - mu) ** 2).mean(axis=-1, keepdims=True)
-            n = (y - mu) * jax.lax.rsqrt(var + _LN_EPS)
-            z = (n * sc[l].astype(jnp.float32) + bi[l].astype(jnp.float32)).astype(
-                h0.dtype
+            zf32, _, _ = _ln_affine(
+                y, sc[l].astype(jnp.float32), bi[l].astype(jnp.float32)
             )
+            z = zf32.astype(h0.dtype)
             # silu in f32: Mosaic rejects bf16 logistic (vector.broadcast
             # element-type mismatch).  "bf16" mode routes through tanh in
             # bf16 instead — half the VPU elementwise volume if supported.
@@ -235,28 +267,32 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
         ]
 
         # forward recompute, stashing per-layer tensors (python list = VMEM)
-        hs, ns, zs, rstds = [], [], [], []
+        hs, ns, zs, rstds, sigs = [], [], [], [], []
         h = x
         for l in range(num_layers):
             hs.append(h)
             y = jnp.dot(
                 h, wh[l], preferred_element_type=jnp.float32
             ) + bh[l].astype(jnp.float32)
-            mu = y.mean(axis=-1, keepdims=True)
-            var = ((y - mu) ** 2).mean(axis=-1, keepdims=True)
-            rstd = jax.lax.rsqrt(var + _LN_EPS)
-            n = (y - mu) * rstd
-            z = (n * sc[l].astype(jnp.float32) + bi[l].astype(jnp.float32)).astype(
-                x.dtype
+            zf32, n, rstd = _ln_affine(
+                y, sc[l].astype(jnp.float32), bi[l].astype(jnp.float32), want_n=True
             )
+            z = zf32.astype(x.dtype)
             ns.append(n.astype(jnp.bfloat16) if _NS_BF16 else n)
             zs.append(z)
             rstds.append(rstd)
             if _SIGMOID_MODE == "bf16":
-                h = z * (jnp.tanh(z * 0.5) * 0.5 + 0.5)
+                sig = jnp.tanh(z * 0.5) * 0.5 + 0.5
+                h = z * sig
             else:
                 zf = z.astype(jnp.float32)
-                h = (zf * _sigmoid_f32(zf)).astype(x.dtype)
+                sig = _sigmoid_f32(zf)
+                h = (zf * sig).astype(x.dtype)
+            if _VPU_LEAN:
+                # stash the sigmoid (bf16) so the backward sweep below does
+                # not pay the transcendental a second time; ~1e-3 relative
+                # noise on dz, same scale as the bf16 n stash
+                sigs.append(sig.astype(jnp.bfloat16))
 
         g = g_ref[:].astype(jnp.float32)
         # output layer
@@ -281,7 +317,9 @@ def _bwd_kernel(x_ref, *refs, num_heads, num_layers):
 
         for l in range(num_layers - 1, -1, -1):
             zf = zs[l].astype(jnp.float32)
-            if _SIGMOID_MODE == "bf16":
+            if _VPU_LEAN:
+                sig = sigs[l].astype(jnp.float32)
+            elif _SIGMOID_MODE == "bf16":
                 sig = (jnp.tanh(zs[l] * 0.5) * 0.5 + 0.5).astype(jnp.float32)
             else:
                 sig = _sigmoid_f32(zf)

@@ -273,11 +273,7 @@ class Trainer:
         self.spatial_partition = spatial_partition
         model._remat_features = remat
         self.ema_decay = ema_decay
-        self.ema_params = (
-            jax.tree_util.tree_map(jnp.copy, nnx.state(model, nnx.Param))
-            if ema_decay
-            else None
-        )
+        self.ema_params = None  # created after the (optional) mesh replication
 
         backbone = model.backbone
 
@@ -317,6 +313,12 @@ class Trainer:
                     lambda x: jax.device_put(x, sharding), state
                 )
                 nnx.update(obj, state)
+        if ema_decay:
+            # copy AFTER mesh replication so the shadow rides the same
+            # replicated sharding as the params it tracks
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.copy, nnx.state(model, nnx.Param)
+            )
 
     # -- train -------------------------------------------------------------
     def training_step(self, x, targets=None) -> Dict[str, Any]:
@@ -578,11 +580,16 @@ class Trainer:
 
     def state_dict(self):
         self._sync_model()
-        return {
+        out = {
             "model": nnx.state(self.model).to_pure_dict(),
             "opt": nnx.state(self.optimizer).to_pure_dict(),
             "step": self.step,
         }
+        if self.ema_params is not None:
+            # the EMA shadow is train state too: losing it on resume would
+            # restart the average from the live params
+            out["ema"] = self.ema_params.to_pure_dict()
+        return out
 
     def load_state_dict(self, state) -> None:
         self._sync_model()
@@ -593,4 +600,8 @@ class Trainer:
         opt_state = nnx.state(self.optimizer)
         opt_state.replace_by_pure_dict(state["opt"])
         nnx.update(self.optimizer, opt_state)
+        if self.ema_params is not None and "ema" in state:
+            ema = jax.tree_util.tree_map(jnp.copy, nnx.state(self.model, nnx.Param))
+            ema.replace_by_pure_dict(state["ema"])
+            self.ema_params = ema
         self.step = int(state["step"])

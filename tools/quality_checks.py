@@ -466,6 +466,274 @@ def check_autoencoding(steps=200):
     return "mean_absolute_error", float(val["head0/valid/mean_absolute_error"])
 
 
+def check_metric_learning(steps=200):
+    """Identity = one of 8 color tints; 1-NN retrieval accuracy
+    (reference bar: 0.79 NN accuracy, ``examples/README.md:20``)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import MetricLearning
+
+    B, S, I = 16, 128, 8
+    rng_t = np.random.RandomState(7)
+    tints = rng_t.rand(I, 3).astype(np.float32) * 0.7
+
+    def make_batch(rng):
+        y = rng.randint(0, I, B)
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.3 + tints[y][:, None, None, :]
+        return x, {"targets": y.astype(np.int32)}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = MetricLearning(backbone.out_channels, I, rngs=rngs)
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    # retrieval protocol: index set from held-out batches, then validate
+    head.reset_validation_index_set()
+    r = np.random.RandomState(1234)
+    for _ in range(2):
+        x, t = make_batch(r)
+        feats = trainer.model.extract_features(jnp.asarray(x))
+        head.extend_validation_index_set(feats, jnp.asarray(t["targets"]))
+    val = _validate(trainer, make_batch)
+    return "1nn_accuracy", float(val["head0/valid/1nn_accuracy"])
+
+
+def check_anomaly(steps=200):
+    """EfficientAD on smooth textures; anomaly = random-noise patch.
+    Image-level accuracy (reference bar: 0.72, ``examples/README.md:15``)."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import AnomalyDetection
+
+    B, S = 8, 128
+
+    def make_images(rng):
+        base = rng.rand(B, 1, 1, 3).astype(np.float32) * 0.3 + 0.3
+        grad = np.linspace(0, 1, S, dtype=np.float32)[None, :, None, None]
+        return np.clip(
+            base * (0.6 + 0.4 * grad) + rng.rand(B, S, S, 3) * 0.05, 0, 1
+        ).astype(np.float32)
+
+    def make_batch(rng):
+        return make_images(rng), {"targets": None}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = AnomalyDetection(
+        backbone.out_channels, num_channels=128, reservoir_size=16384,
+        samples_per_step=512, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    r = np.random.RandomState(77)
+    trainer.pretrain([(make_images(r), None) for _ in range(4)])
+    # the reservoir is a training-side buffer: stream steps unscanned
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    for step in range(steps):
+        m = trainer.training_step(jnp.asarray(make_images(r)), None)
+        if step % 50 == 0 or step == steps - 1:
+            print(
+                f"  steps {step}: loss {float(m['trainer/loss']):.3f}"
+                f" ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+    rv = np.random.RandomState(999)
+    clean = make_images(rv)
+    anomalous = make_images(rv).copy()
+    tgt = np.zeros((B, S, S), np.float32)
+    tgt_a = np.zeros((B, S, S), np.float32)
+    for b in range(B):
+        y0, x0 = rv.randint(10, S - 42, 2)
+        anomalous[b, y0 : y0 + 32, x0 : x0 + 32] = rv.rand(32, 32, 3)
+        tgt_a[b, y0 : y0 + 32, x0 : x0 + 32] = 1.0
+    val = trainer.validate([(clean, {"targets": tgt}), (anomalous, {"targets": tgt_a})])
+    return "accuracy", float(val["head0/valid/accuracy"])
+
+
+def check_view_invariance(steps=150):
+    """Barlow Twins on brightness/noise-distorted second views; normalized
+    Frobenius norm (reference bar: 0.58, ``examples/README.md:29``)."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import ViewInvarianceLearning
+
+    B, S = 16, 128
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32)
+        view2 = np.clip(
+            x * (0.8 + 0.4 * rng.rand()) + rng.randn(B, S, S, 3) * 0.05, 0, 1
+        ).astype(np.float32)
+        return x, {"view2": view2}
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    head = ViewInvarianceLearning(
+        backbone.out_channels, embedding_dim=512, num_channels=128, rngs=rngs
+    )
+    trainer = _trainer(SihlModel(backbone, None, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return (
+        "normalized_frobenius_norm",
+        float(val["head0/valid/normalized_frobenius_norm"]),
+    )
+
+
+def check_panoptic(steps=300):
+    """Stuff = dark background vs green field; things = bright squares.
+    Panoptic quality (reference row: ``examples/README.md:24``)."""
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.heads import PanopticSegmentation
+    from sihl_tpu.heads.panoptic_segmentation import panoptic_targets_from_maps
+    from sihl_tpu.layers import FPN
+
+    B, S, T = 8, 256, 4
+    STUFF, THINGS = 2, 2
+
+    def make_batch(rng):
+        x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
+        sem_b, cls_b, msk_b = [], [], []
+        for b in range(B):
+            semantic = np.zeros((S, S), np.int32)
+            ids = np.zeros((S, S), np.int32)
+            # stuff 1: a green horizontal band
+            y0 = rng.randint(0, S // 2)
+            hband = rng.randint(40, 100)
+            x[b, y0 : y0 + hband] = [0.2, 0.7, 0.2]
+            semantic[y0 : y0 + hband] = 1
+            # things: bright red/blue squares
+            for t in range(rng.randint(1, 3)):
+                w, h = rng.randint(40, 90, 2)
+                xx = rng.randint(0, S - w)
+                yy = rng.randint(0, S - h)
+                c = rng.randint(0, THINGS)
+                x[b, yy : yy + h, xx : xx + w] = (
+                    [0.9, 0.2, 0.2] if c == 0 else [0.2, 0.2, 0.9]
+                )
+                semantic[yy : yy + h, xx : xx + w] = STUFF + c
+                ids[yy : yy + h, xx : xx + w] = t + 1
+            classes, masks = panoptic_targets_from_maps(
+                semantic, ids, STUFF, T, ignore_index=-100
+            )
+            sem_b.append(semantic)
+            cls_b.append(classes)
+            msk_b.append(masks)
+        return x, {
+            "semantic": np.stack(sem_b).astype(np.int32),
+            "classes": np.stack(cls_b).astype(np.int32),
+            "masks": np.stack(msk_b).astype(np.float32),
+        }
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    head = PanopticSegmentation(
+        neck.out_channels, STUFF, THINGS, num_channels=128, num_layers=2,
+        max_targets=T, rngs=rngs,
+    )
+    trainer = _trainer(SihlModel(backbone, neck, [head]), steps)
+    _run_scanned(trainer, make_batch, steps)
+    val = _validate(trainer, make_batch)
+    return "pq", float(val["head0/valid/pq"])
+
+
+def check_multitask(steps=300):
+    """BASELINE config-5 composition (mirrors ``examples/multitask.py``):
+    detection + text recognition + depth + metric learning on one trunk.
+    Each target rides a different image signal so all four learn at once."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from sihl_tpu import Backbone, SihlModel
+    from sihl_tpu.data import pad_text_targets
+    from sihl_tpu.heads import (
+        DepthEstimation,
+        MetricLearning,
+        ObjectDetection,
+        TextRecognition,
+    )
+    from sihl_tpu.layers import FPN
+
+    B, S, T = 8, 256, 4
+    NT, L = 3, 2  # text tokens / max length
+    I = 4  # identities
+    rng_t = np.random.RandomState(7)
+    tints = rng_t.rand(I, 3).astype(np.float32) * 0.25
+    palette = np.asarray(
+        [[0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9]], np.float32
+    )
+
+    def make_batch(rng):
+        ids = rng.randint(0, I, B)
+        # identity tint over a noise floor; depth = brightness of that base
+        base = rng.rand(B, 1, 1, 1).astype(np.float32) * 0.5 + 0.1
+        x = np.broadcast_to(base, (B, S, S, 3)).copy() + tints[ids][:, None, None, :]
+        depth = 0.1 + np.broadcast_to(base[..., 0], (B, S, S)).copy() * 9.9
+        classes = np.full((B, T), -1, np.int32)
+        boxes = np.zeros((B, T, 4), np.float32)
+        texts = []
+        for b in range(B):
+            # detection: one bright white square
+            w = rng.randint(50, 90)
+            x0 = rng.randint(0, S - w)
+            y0 = rng.randint(S // 4, S - w)
+            x[b, y0 : y0 + w, x0 : x0 + w] = 0.95
+            classes[b, 0] = 0
+            boxes[b, 0] = [x0, y0, x0 + w, y0 + w]
+            # text: colored stripes along the top rows
+            n = rng.randint(1, L + 1)
+            toks = rng.randint(0, NT, n)
+            for i, tk in enumerate(toks):
+                x[b, : S // 8, i * (S // L) : i * (S // L) + S // L // 2] = palette[tk]
+            texts.append(list(toks))
+        return np.clip(x, 0, 1), [
+            {"classes": classes, "boxes": boxes},
+            {"texts": pad_text_targets(texts, L, NT)},
+            {"targets": depth.astype(np.float32), "masks": np.ones((B, S, S), bool)},
+            {"targets": ids.astype(np.int32)},
+        ]
+
+    rngs = nnx.Rngs(0)
+    backbone = Backbone("resnet18", rngs=rngs)
+    neck = FPN(backbone.out_channels, 128, bottom_level=3, top_level=5, rngs=rngs)
+    heads = [
+        ObjectDetection(
+            neck.out_channels, 1, bottom_level=3, top_level=5,
+            num_channels=128, num_layers=2, max_targets=T, rngs=rngs,
+        ),
+        TextRecognition(
+            neck.out_channels, NT, L, level=3, num_channels=128,
+            embedding_dim=256, rngs=rngs,
+        ),
+        DepthEstimation(neck.out_channels, 0.1, 10.0, rngs=rngs),
+        MetricLearning(neck.out_channels, I, rngs=rngs),
+    ]
+    trainer = _trainer(SihlModel(backbone, neck, heads), steps)
+    _run_scanned(trainer, make_batch, steps)
+    ml_head = heads[3]
+    ml_head.reset_validation_index_set()
+    r = np.random.RandomState(1234)
+    for _ in range(2):
+        x, ts = make_batch(r)
+        feats = trainer.model.extract_features(jnp.asarray(x))
+        ml_head.extend_validation_index_set(feats, jnp.asarray(ts[3]["targets"]))
+    val = _validate(trainer, make_batch)
+    return [
+        ("map_50", float(val["head0/valid/map_50"]), 0.60, "ge"),
+        ("text_accuracy", float(val["head1/valid/accuracy"]), 0.70, "ge"),
+        ("depth_mae", float(val["head2/valid/mae"]), 1.0, "le"),
+        ("1nn_accuracy", float(val["head3/valid/1nn_accuracy"]), 0.70, "ge"),
+    ]
+
+
 TASKS = {
     "detection": (check_detection, 0.70, "ge"),
     "classification": (check_classification, 0.95, "ge"),
@@ -478,6 +746,11 @@ TASKS = {
     "multilabel": (check_multilabel, 0.95, "ge"),
     "regression": (check_regression, 0.10, "le"),
     "autoencoding": (check_autoencoding, 0.10, "le"),
+    "metric_learning": (check_metric_learning, 0.80, "ge"),
+    "anomaly": (check_anomaly, 0.70, "ge"),
+    "view_invariance": (check_view_invariance, 0.60, "le"),
+    "panoptic": (check_panoptic, 0.30, "ge"),
+    "multitask": (check_multitask, None, None),  # per-metric bars in the check
 }
 
 
@@ -493,18 +766,22 @@ def main():
         fn, expected, direction = TASKS[name]
         print(f"== {name}", flush=True)
         t0 = time.time()
-        metric, value = fn()
-        ok = value >= expected if direction == "ge" else value <= expected
-        line = {
-            "task": name,
-            "metric": metric,
-            "value": round(value, 4),
-            "expected": (">=" if direction == "ge" else "<=") + str(expected),
-            "pass": bool(ok),
-            "seconds": round(time.time() - t0, 1),
-        }
-        print(json.dumps(line), flush=True)
-        results.append(line)
+        out = fn()
+        # a check returns (metric, value) with the bar in TASKS, or a list
+        # of (metric, value, expected, direction) rows (multitask)
+        rows = [(*out, expected, direction)] if isinstance(out, tuple) else out
+        for metric, value, exp, direc in rows:
+            ok = value >= exp if direc == "ge" else value <= exp
+            line = {
+                "task": name,
+                "metric": metric,
+                "value": round(value, 4),
+                "expected": (">=" if direc == "ge" else "<=") + str(exp),
+                "pass": bool(ok),
+                "seconds": round(time.time() - t0, 1),
+            }
+            print(json.dumps(line), flush=True)
+            results.append(line)
     print(json.dumps({"all_pass": all(r["pass"] for r in results)}))
 
 

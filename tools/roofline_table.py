@@ -367,21 +367,35 @@ def main():
             (name, ms, b["n"] // K, gbps, tflops, ceiling_str, pct_str)
         )
 
-    # speed-of-light bound: every bucket at 100% of its measured ceiling;
-    # buckets without a ceiling (or already past the logical-bytes ceiling)
-    # are taken at their observed time, so the bound is conservative
+    # Speed-of-light bound, TWO-SIDED (round-4 rework): a bucket's floor is
+    # the LARGER of its flops time at the matmul ceiling and its bytes time
+    # at the HBM stream ceiling — a memory-bound conv cannot be credited
+    # with its MXU rate (the round-3 bound did exactly that, which made the
+    # "14.7 ms of scheduling slack" largely illusory: the drill shows the
+    # big conv buckets are wide memory-bound fusions at 600-740 GB/s
+    # *logical*, i.e. 73-90% of stream).  Logical bytes overcount for
+    # fusions whose operands stay VMEM-resident, so the per-bucket bound is
+    # still clamped to the observed time — the bound can only say a bucket
+    # is AT its floor, never charge it above one.
     bound_ms = 0.0
     for name, b in buckets.items():
         ms = b["us"] / 1e3 / K
         ceiling_key, kind = CEILING_FOR.get(name, (None, None))
-        if ceiling_key and kind == "tflops" and b["flops"] > 0:
-            t = b["flops"] / K / (ceilings[ceiling_key] * 1e12) * 1e3
-            bound_ms += min(ms, t)
-        elif ceiling_key and kind == "gbps" and b["bytes"] > 0:
-            t = b["bytes"] / K / (ceilings[ceiling_key] * 1e9) * 1e3
-            bound_ms += min(ms, t)
-        else:
+        if ceiling_key is None:
             bound_ms += ms
+            continue
+        t_flops = (
+            b["flops"] / K / (ceilings[ceiling_key] * 1e12) * 1e3
+            if kind == "tflops" and b["flops"] > 0
+            else 0.0
+        )
+        t_bytes = (
+            b["bytes"] / K / (ceilings["stream_gbps"] * 1e9) * 1e3
+            if b["bytes"] > 0
+            else 0.0
+        )
+        floor = max(t_flops, t_bytes)
+        bound_ms += min(ms, floor) if floor > 0 else ms
 
     lines = [
         "# ROOFLINE — flagship step, per-block achieved vs machine ceiling",
@@ -419,15 +433,26 @@ def main():
         )
     lines += [
         "",
-        "## Speed-of-light bound",
+        "## Speed-of-light bound (two-sided)",
         "",
-        f"With every ceiling-mapped bucket at 100% of its measured machine",
-        f"limit (unmapped buckets at observed time): **{bound_ms:.1f} ms/step**",
-        f"= {BATCH / (bound_ms / 1e3):.0f} img/s device-side, vs"
+        "Per bucket: floor = max(flops / matmul-ceiling, logical-bytes /",
+        "stream-ceiling), clamped to the observed time (logical bytes",
+        "overcount VMEM-resident fusion operands, so the clamp keeps the",
+        "bound conservative).  A memory-bound conv fusion is NOT credited",
+        f"with its MXU rate.  Bound: **{bound_ms:.1f} ms/step**"
+        f" = {BATCH / (bound_ms / 1e3):.0f} img/s device-side, vs"
         f" {total_ms:.1f} ms observed ({BATCH / (total_ms / 1e3):.0f} img/s).",
-        "The residual to the 400 img/s target is the architecture-hardware",
-        "fit (sub-128-lane stage-1 shapes, BN stat passes), not scheduling",
-        "slack — see the per-bucket `%ceil` column.",
+        "",
+        "The per-op drill (round 4) shows the big conv buckets are wide",
+        "memory-bound conv+BN-stat/backward fusions streaming at 600-860",
+        "GB/s logical — 73-105% of the measured HBM ceiling — while the",
+        "pure-matmul portions (3x3 256ch convs) run at 181-190 TF/s, at the",
+        "MXU ceiling.  The residual to the 400 img/s target is therefore",
+        "HBM traffic intrinsic to the architecture (ResNet-50 stage-1/2",
+        "activations + BN stat passes + backward re-reads), not scheduling",
+        "slack.  Ceilings above are best-known-kernel measurements on this",
+        "chip (XLA kernels; a shape-matched Pallas matmul probe for the 1x1",
+        "64->256 case is in tools/probe_conv1x1_pallas.py).",
         "",
     ]
     with open(out_md, "w") as f:
