@@ -15,6 +15,32 @@ The universal inter-layer contract is the feature pyramid: a
 input image (NHWC) and ``features[l]`` has spatial stride ``2**l``.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache, on by default (SIHL_TPU_COMPILE_CACHE=0
+# to disable, or set it to a directory to relocate).  On the tunneled TPU
+# backend a cold flagship-step compile costs 10-15 min wall; the cache
+# turns every repeat invocation (bench A/B legs, examples, the driver's
+# compile checks) into a ~10 s reload.  Keyed by JAX on the full program +
+# compile options, so stale hits are not a correctness risk.
+_cache = _os.environ.get("SIHL_TPU_COMPILE_CACHE", "1")
+# XLA:CPU AOT cache entries reload with spurious target-feature-mismatch
+# errors (and a documented SIGILL risk), so the default-on path only
+# engages when the selected platform is not the CPU; an explicit
+# SIHL_TPU_COMPILE_CACHE=<dir> overrides unconditionally.
+if _cache == "1" and "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    _cache = "0"
+if _cache != "0":
+    if _cache == "1":
+        _cache = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - very old jax
+        pass
+
 from sihl_tpu.policy import set_compute_dtype, compute_dtype
 from sihl_tpu.model import SihlModel
 from sihl_tpu.backbones import (

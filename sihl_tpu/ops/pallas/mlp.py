@@ -66,7 +66,12 @@ def _sigmoid_f32(zf):
 # The backward kernel additionally stashes the recomputed sigmoid in bf16
 # so the backward sweep does not re-evaluate the transcendental (the
 # single most expensive VPU op in the kernel).
-_VPU_LEAN = os.environ.get("SIHL_TPU_MLP_VPU_LEAN", "1") == "1"
+_VPU_LEAN = os.environ.get("SIHL_TPU_MLP_VPU_LEAN", "0") == "1"
+# A/B on the flagship bench (2026-08-19, clean canaries): lean
+# 235.6/232.2 vs base 237.1/237.2 img/s — a measured LOSS despite the
+# lower VPU op count (Mosaic's schedule of the two-pass LN overlaps
+# better than the "cheaper" fused form).  Default OFF; kept as an opt-in
+# probe lever.
 
 
 def _ln_affine(y, sc_f32, bi_f32, want_n=False):
