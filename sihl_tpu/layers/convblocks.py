@@ -71,7 +71,11 @@ def make_conv(
     rngs: Optional[nnx.Rngs] = None,
 ) -> nnx.Conv:
     pad = padding if padding is not None else (kernel_size - 1) // 2 * dilation
-    return nnx.Conv(
+    from sihl_tpu.ops.conv1x1 import DotBackwardConv
+
+    # DotBackwardConv only engages for the 1x1/stride-1 case (see
+    # ops/conv1x1.py); every other configuration is stock nnx.Conv.
+    return DotBackwardConv(
         in_channels,
         out_channels,
         kernel_size=(kernel_size, kernel_size),
