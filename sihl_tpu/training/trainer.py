@@ -204,7 +204,24 @@ class _ScanDispatch:
         if entry[0] is None:
             return self._jitted(carry, xs, targets)
         compiled, xs_format = entry
-        return compiled(carry, jax.device_put(xs, xs_format), targets)
+        xs_put = jax.device_put(xs, xs_format)
+        try:
+            put_layout = xs_put.format.layout
+        except Exception:  # pragma: no cover - plugin-dependent
+            put_layout = None
+        if put_layout != xs_format.layout:
+            # the PJRT plugin silently ignored the relayout request for this
+            # shape (observed on axon with f32 (10,8,256,256,3): requested
+            # (0,2,3,4,1)/(4,128), got (0,1,4,2,3)/(8,128)) — executing the
+            # AUTO-layout binary would raise a layout-mismatch ValueError.
+            # Permanently fall back to the plain jit path for this signature.
+            self._cache[sig] = (None, None)
+            return self._jitted(carry, xs, targets)
+        try:
+            return compiled(carry, xs_put, targets)
+        except ValueError:  # pragma: no cover - belt and braces
+            self._cache[sig] = (None, None)
+            return self._jitted(carry, xs, targets)
 
 
 @nnx.jit
@@ -397,6 +414,17 @@ class Trainer:
         if self._scan_state is not None:
             nnx.update((self.model, self.optimizer), self._scan_state)
             self._scan_state = None
+
+    def sync_model(self) -> None:
+        """Flush scanned-dispatch state back into ``self.model``.
+
+        After :meth:`training_steps_scanned`, the up-to-date parameters live
+        in the donated scan carry, NOT in ``self.model`` — any direct use of
+        the model (feature extraction for a retrieval index set, export,
+        weight inspection) must call this first.  :meth:`validate`,
+        :meth:`training_step`, and checkpointing do it automatically.
+        """
+        self._sync_model()
 
     def training_steps_scanned(self, xs, targets_stacked) -> Any:
         """Run K optimizer steps in ONE device dispatch via ``lax.scan``.
