@@ -126,6 +126,37 @@ def _stem_space_to_depth(x, kernel):
     )
 
 
+def _stem_batch_fold(x, kernel):
+    """The 7x7/s2 stem conv with H row-groups folded into the batch axis.
+
+    XLA vectorizes the 3-channel stem conv over BATCH lanes, so batch 16
+    fills 16/128 of each vector lane and the conv runs at ~13 TF/s
+    (ROOFLINE.md "convs @320^2": 2.4 ms of the flagship step).  Splitting
+    H into G halo'd row-groups makes the effective batch B*G — full lanes
+    at G = 128/B — for the cost of one ~7%-bigger halo'd copy of the
+    input.  Bit-exact vs the direct conv (same contraction order);
+    autodiff-safe (plain slices/concat/conv).
+    """
+    b, h, w, c = x.shape
+    co = kernel.shape[-1]
+    groups = max(1, min(128 // b, h // 2))
+    while (h // 2) % groups:
+        groups -= 1
+    if groups <= 1:
+        return None
+    rows = h // 2 // groups  # output rows per group
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    xg = jnp.stack(
+        [xp[:, 2 * rows * g : 2 * rows * g + 2 * rows + 6] for g in range(groups)],
+        axis=1,
+    ).reshape(b * groups, 2 * rows + 6, w + 6, c)
+    y = jax.lax.conv_general_dilated(
+        xg, kernel, (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, h // 2, w // 2, co)
+
+
 class _Stem(nnx.Module):
     def __init__(self, input_channels, rngs):
         self.conv = make_conv(input_channels, 64, 7, stride=2, padding=3, bias=False, rngs=rngs)
@@ -191,6 +222,17 @@ class _Stem(nnx.Module):
             y = _stem_space_to_depth(
                 x.astype(dtype), self.conv.kernel[...].astype(dtype)
             )
+        elif (
+            os.environ.get("SIHL_TPU_STEM_FOLD", "0") == "1"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            dtype = self.conv.dtype or x.dtype
+            y = _stem_batch_fold(
+                x.astype(dtype), self.conv.kernel[...].astype(dtype)
+            )
+            if y is None:  # degenerate geometry: plain conv
+                y = self.conv(x)
         else:
             y = self.conv(x)
         return nnx.relu(self.bn(maybe_split_norm_input(y)))

@@ -148,6 +148,40 @@ def test_stem_space_to_depth_parity():
     np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct), atol=1e-4)
 
 
+def test_stem_batch_fold_parity():
+    """The batch-folded stem conv must be bit-exact vs the direct conv
+    (same contraction order, only the batch axis is regrouped), including
+    its gradients, at several geometries."""
+    import jax
+    import numpy as np
+
+    from sihl_tpu.backbones.resnet import _stem_batch_fold
+
+    rng = np.random.RandomState(0)
+    for b, h, wdt in [(2, 32, 32), (1, 64, 32), (16, 16, 16)]:
+        x = jnp.asarray(rng.randn(b, h, wdt, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(7, 7, 3, 8), jnp.float32)
+
+        def direct_fn(w):
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        direct = direct_fn(w)
+        folded = _stem_batch_fold(x, w)
+        assert folded is not None and folded.shape == direct.shape, (b, h, wdt)
+        np.testing.assert_array_equal(np.asarray(folded), np.asarray(direct))
+        # gradient parity (the fold is used under autodiff when unfrozen)
+        g_direct = jax.grad(lambda w: jnp.sum(direct_fn(w) ** 2))(w)
+        g_fold = jax.grad(lambda w: jnp.sum(_stem_batch_fold(x, w) ** 2))(w)
+        # the fold's wrt-filter grad accumulates per-group partials in a
+        # different order than the direct conv — f32 tolerance, not exact
+        np.testing.assert_allclose(
+            np.asarray(g_fold), np.asarray(g_direct), rtol=2e-4, atol=1e-3
+        )
+
+
 def test_stage1_s2d_parity():
     """The space-to-depth stage-1 execution must match the plain stage:
     forward output, parameter gradients, and BN running-stat updates."""

@@ -30,7 +30,7 @@ def amortized(fn, x, est_iter_s):
     """Two-point fori_loop timing (cancels the tunnel RTT)."""
 
     def body(_, c):
-        return fn(c) * 1e-20 + c
+        return (fn(c) * 1e-20).astype(c.dtype) + c
 
     n1 = max(2, int(0.1 / est_iter_s))
     n2 = n1 + max(8, int(0.4 / est_iter_s))

@@ -60,18 +60,21 @@ def _run_scanned(trainer, make_batch, steps, k=10, log_every=5):
             )
 
 
-def _validate(trainer, make_batch, n_batches=4, seed=999):
+def _make_val_data(make_batch, n_batches=4, seed=999):
+    import jax
     import jax.numpy as jnp
 
     r = np.random.RandomState(seed)
     data = []
     for _ in range(n_batches):
         x, t = make_batch(r)
-        import jax
+        data.append((jnp.asarray(x), jax.tree_util.tree_map(jnp.asarray, t)))
+    return data
 
-        data.append(
-            (jnp.asarray(x), jax.tree_util.tree_map(jnp.asarray, t))
-        )
+
+def _validate(trainer, make_batch, n_batches=4, seed=999, data=None):
+    if data is None:
+        data = _make_val_data(make_batch, n_batches, seed)
     return trainer.validate(data)
 
 
@@ -308,7 +311,7 @@ def check_instance_seg(steps=300):
     return "mask_map_50", float(val["head0/valid/map_50"])
 
 
-def check_quadrilaterals(steps=500):
+def check_quadrilaterals(steps=800):
     """Axis-aligned bright squares as quads; box-converted mAP@50."""
     from flax import nnx
 
@@ -489,18 +492,22 @@ def check_metric_learning(steps=200):
     head = MetricLearning(backbone.out_channels, I, rngs=rngs)
     trainer = _trainer(SihlModel(backbone, None, [head]), steps)
     _run_scanned(trainer, make_batch, steps)
-    # retrieval protocol: index set from held-out batches, then validate.
+    # retrieval protocol mirrors the reference example
+    # (examples/metric_learning.py:146-157, QuerySetCallback): the index set
+    # IS the validation data — each query is in the index, and
+    # validation_step drops rank-0 as self-similarity.  Building the index
+    # from disjoint batches would make the rank-0 drop discard the true
+    # nearest neighbor.
     # sync_model() is REQUIRED after scanned training — the trained weights
     # live in the scan carry, not in trainer.model, until flushed.
     trainer.sync_model()
     trainer.model.eval()
     head.reset_validation_index_set()
-    r = np.random.RandomState(1234)
-    for _ in range(2):
-        x, t = make_batch(r)
-        feats = trainer.model.extract_features(jnp.asarray(x))
-        head.extend_validation_index_set(feats, jnp.asarray(t["targets"]))
-    val = _validate(trainer, make_batch)
+    data = _make_val_data(make_batch)
+    for x, t in data:
+        feats = trainer.model.extract_features(x)
+        head.extend_validation_index_set(feats, t["targets"])
+    val = _validate(trainer, make_batch, data=data)
     return "1nn_accuracy", float(val["head0/valid/1nn_accuracy"])
 
 
@@ -668,7 +675,7 @@ def check_panoptic(steps=300):
     return "pq", float(val["head0/valid/pq"])
 
 
-def check_multitask(steps=450):
+def check_multitask(steps=600):
     """BASELINE config-5 composition (mirrors ``examples/multitask.py``):
     detection + text recognition + depth + metric learning on one trunk.
     Each target rides a different image signal so all four learn at once."""
@@ -748,12 +755,13 @@ def check_multitask(steps=450):
     trainer.model.eval()
     ml_head = heads[3]
     ml_head.reset_validation_index_set()
-    r = np.random.RandomState(1234)
-    for _ in range(2):
-        x, ts = make_batch(r)
-        feats = trainer.model.extract_features(jnp.asarray(x))
-        ml_head.extend_validation_index_set(feats, jnp.asarray(ts[3]["targets"]))
-    val = _validate(trainer, make_batch)
+    # index set = validation data, per the reference's QuerySetCallback
+    # protocol (see check_metric_learning)
+    data = _make_val_data(make_batch)
+    for x, ts in data:
+        feats = trainer.model.extract_features(x)
+        ml_head.extend_validation_index_set(feats, ts[3]["targets"])
+    val = _validate(trainer, make_batch, data=data)
     return [
         ("map_50", float(val["head0/valid/map_50"]), 0.60, "ge"),
         ("text_accuracy", float(val["head1/valid/accuracy"]), 0.70, "ge"),
