@@ -2,15 +2,27 @@
 images/sec/chip on the attached TPU (BASELINE.json north star).
 
 Prints one JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "canary": N, "canary_retries": N, "degraded": bool}
 
 ``vs_baseline`` is measured throughput divided by the target of 2x an
 A100's per-chip throughput on the same workload (the driver-specified
 goal); the A100 reference for ResNet-50+FPN detection fwd+bwd at 640px,
 16-mixed, batch 16 is taken as 200 images/sec, so baseline = 400.
+
+Tunnel-health gate: a benchmark started right after an abnormal TPU
+process exit reads ~172-175 img/s instead of ~237 — the device tunnel
+silently degrades and takes minutes to recover.  Before accepting a
+measurement, this script times a one-rep canary; if it reads below
+``SIHL_BENCH_CANARY_MIN`` (default 230 img/s at the default workload)
+it sleeps ``SIHL_BENCH_CANARY_SLEEP`` (default 90 s) and retries up to
+``SIHL_BENCH_CANARY_ATTEMPTS`` (default 3) times.  The emitted JSON
+carries the final canary reading, the retry count, and a ``degraded``
+flag so a bad record is self-describing instead of silently wrong.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -87,16 +99,36 @@ def main():
     xs_m, ts_m = stack(MEASURE_STEPS)
     run = lambda: trainer.training_steps_scanned(xs_m, ts_m)["trainer/loss"].sum()
     _ = float(run())  # compile + warm
-    # queue all reps back-to-back and sync ONCE: a per-rep host sync would
-    # add a full tunnel round-trip (~40 ms) of device idle per rep, which
-    # no production loop pays (steps stream asynchronously)
-    reps = 3
-    t0 = time.perf_counter()
-    losses = [run() for _rep in range(reps)]
-    losses_sum = float(sum(losses))
-    dt = (time.perf_counter() - t0) / reps
 
-    images_per_sec = BATCH * MEASURE_STEPS / dt
+    def timed_ips(reps):
+        # queue all reps back-to-back and sync ONCE: a per-rep host sync
+        # would add a full tunnel round-trip (~40 ms) of device idle per
+        # rep, which no production loop pays (steps stream asynchronously)
+        t0 = time.perf_counter()
+        _losses = float(sum(run() for _rep in range(reps)))
+        dt = (time.perf_counter() - t0) / reps
+        return BATCH * MEASURE_STEPS / dt
+
+    # canary gate: don't accept a measurement through a degraded tunnel
+    canary_min = float(os.environ.get("SIHL_BENCH_CANARY_MIN", "230"))
+    canary_sleep = float(os.environ.get("SIHL_BENCH_CANARY_SLEEP", "90"))
+    canary_attempts = int(os.environ.get("SIHL_BENCH_CANARY_ATTEMPTS", "3"))
+    canary = timed_ips(1)
+    retries = 0
+    while canary < canary_min and retries < canary_attempts:
+        print(
+            f"canary {canary:.1f} img/s < {canary_min:.0f}: tunnel looks "
+            f"degraded, sleeping {canary_sleep:.0f}s (retry {retries + 1}/"
+            f"{canary_attempts})",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(canary_sleep)
+        canary = timed_ips(1)
+        retries += 1
+    degraded = canary < canary_min
+
+    images_per_sec = timed_ips(3)
     print(
         json.dumps(
             {
@@ -104,6 +136,9 @@ def main():
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / A100_X2_TARGET, 3),
+                "canary": round(canary, 2),
+                "canary_retries": retries,
+                "degraded": degraded,
             }
         )
     )

@@ -21,6 +21,7 @@ from sihl_tpu.layers.convblocks import (
     _rngs,
 )
 from sihl_tpu.ops.image import max_pool2d
+from sihl_tpu.ops.relu import relu
 
 
 class _ConvBN(nnx.Module):
@@ -47,9 +48,9 @@ class BasicBlock(nnx.Module):
 
     def __call__(self, x):
         identity = self.downsample(x) if self.downsample is not None else x
-        out = nnx.relu(self.conv1(x))
+        out = relu(self.conv1(x))
         out = self.conv2(out)
-        return nnx.relu(out + identity)
+        return relu(out + identity)
 
 
 class Bottleneck(nnx.Module):
@@ -69,10 +70,10 @@ class Bottleneck(nnx.Module):
 
     def __call__(self, x):
         identity = self.downsample(x) if self.downsample is not None else x
-        out = nnx.relu(self.conv1(x))
-        out = nnx.relu(self.conv2(out))
+        out = relu(self.conv1(x))
+        out = relu(self.conv2(out))
         out = self.conv3(out)
-        return nnx.relu(out + identity)
+        return relu(out + identity)
 
 
 class _Stage(nnx.Module):
@@ -196,7 +197,7 @@ class _Stem(nnx.Module):
         bias = bn.bias[...].astype(dtype).astype(jnp.float32)
         mul = jax.lax.rsqrt(var + bn.epsilon) * scale
         out = ((y.astype(jnp.float32) - mean) * mul + bias).astype(dtype)
-        return nnx.relu(out)
+        return relu(out)
 
     def __call__(self, x, fwd_only: bool = False):
         import os
@@ -235,7 +236,7 @@ class _Stem(nnx.Module):
                 y = self.conv(x)
         else:
             y = self.conv(x)
-        return nnx.relu(self.bn(maybe_split_norm_input(y)))
+        return relu(self.bn(maybe_split_norm_input(y)))
 
 
 # -- stage-1 space-to-depth execution ---------------------------------------
@@ -327,15 +328,15 @@ def _bottleneck_s2d(blk, x2):
         identity = _bn_s2d(blk.downsample.bn, _pw_s2d(x2, blk.downsample.conv))
     else:
         identity = x2
-    out = nnx.relu(_bn_s2d(blk.conv1.bn, _pw_s2d(x2, blk.conv1.conv)))
+    out = relu(_bn_s2d(blk.conv1.bn, _pw_s2d(x2, blk.conv1.conv)))
     k2 = _conv3x3_kernel_s2d(blk.conv2.conv.kernel[...].astype(out.dtype))
     y = jax.lax.conv_general_dilated(
         out, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    out = nnx.relu(_bn_s2d(blk.conv2.bn, y))
+    out = relu(_bn_s2d(blk.conv2.bn, y))
     out = _bn_s2d(blk.conv3.bn, _pw_s2d(out, blk.conv3.conv))
-    return nnx.relu(out + identity)
+    return relu(out + identity)
 
 
 def _stage_s2d_eligible(stage, x):
@@ -439,11 +440,11 @@ class PreactBottleneck(nnx.Module):
         )
 
     def __call__(self, x):
-        pre = nnx.relu(self.norm1(x))
+        pre = relu(self.norm1(x))
         identity = self.downsample(pre) if self.downsample is not None else x
         out = self.conv1(pre)
-        out = self.conv2(nnx.relu(self.norm2(out)))
-        out = self.conv3(nnx.relu(self.norm3(out)))
+        out = self.conv2(relu(self.norm2(out)))
+        out = self.conv3(relu(self.norm3(out)))
         return out + identity
 
 
@@ -472,7 +473,7 @@ class ResNetV2Features(ResNetFeatures):
         c4 = self.layer3(c3)
         if sg >= 4:
             c4 = jax.lax.stop_gradient(c4)
-        c5 = nnx.relu(self.final_norm(self.layer4(c4)))
+        c5 = relu(self.final_norm(self.layer4(c4)))
         if sg >= 5:
             c5 = jax.lax.stop_gradient(c5)
         return [c1, c2, c3, c4, c5]

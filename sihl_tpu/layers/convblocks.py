@@ -123,8 +123,10 @@ def make_norm(kind: Optional[str], num_features: int, groupnorm_groups: int, rng
     raise ValueError(f"unknown norm {kind!r}")
 
 
+from sihl_tpu.ops.relu import relu as _relu_outmask
+
 _ACTS = {
-    "relu": nnx.relu,
+    "relu": _relu_outmask,
     "silu": nnx.silu,
     "gelu": nnx.gelu,
     "sigmoid": nnx.sigmoid,

@@ -72,7 +72,7 @@ def test_pad_to_multiple():
 
 def test_mlp_final_bias():
     mlp = MLP(16, [16, 16, 1], final_bias_init=-5.0, rngs=nnx.Rngs(0))
-    assert np.allclose(np.asarray(mlp.linears[-1].bias.value), -5.0)
+    assert np.allclose(np.asarray(mlp.linears[-1].bias[...]), -5.0)
     out = mlp(jnp.zeros((3, 16)))
     assert out.shape == (3, 1)
     assert np.allclose(np.asarray(out), -5.0)

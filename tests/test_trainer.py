@@ -100,22 +100,22 @@ def test_frozen_backbone_levels():
     model = SihlModel(backbone, None, [head])
     trainer = Trainer(model, optimizer_kwargs={"lr": 1e-2})
     stem_before = np.asarray(
-        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"].value
+        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"][...]
     ).copy()
     layer4_before = np.asarray(
         trainer.params["backbone"]["features"]["layer4"]["blocks"][0]["conv1"]["conv"][
             "kernel"
-        ].value
+        ][...]
     ).copy()
     x, y = next(fake_batches(1))
     trainer.training_step(x, y)
     stem_after = np.asarray(
-        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"].value
+        trainer.params["backbone"]["features"]["stem"]["conv"]["kernel"][...]
     )
     layer4_after = np.asarray(
         trainer.params["backbone"]["features"]["layer4"]["blocks"][0]["conv1"]["conv"][
             "kernel"
-        ].value
+        ][...]
     )
     assert np.array_equal(stem_before, stem_after), "frozen level updated"
     assert not np.array_equal(layer4_before, layer4_after), "unfrozen level not updated"
@@ -147,8 +147,8 @@ def test_dp_matches_single_device():
     l2 = float(t2.training_step(x, y)["trainer/loss"])
     assert np.isclose(l1, l2, rtol=1e-4), (l1, l2)
     # params stay in sync after the update
-    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"].value
-    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    p1 = t1.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
+    p2 = t2.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
@@ -163,8 +163,8 @@ def test_checkpoint_roundtrip(tmp_path):
     trainer2 = Trainer(make_model(rngs=nnx.Rngs(1)), optimizer_kwargs={"lr": 1e-2})
     restore_checkpoint(trainer2, str(tmp_path / "ckpt"))
     assert trainer2.step == trainer.step
-    p1 = trainer.params["heads"][0]["readout"]["out_conv"]["kernel"].value
-    p2 = trainer2.params["heads"][0]["readout"]["out_conv"]["kernel"].value
+    p1 = trainer.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
+    p2 = trainer2.params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
@@ -173,17 +173,17 @@ def test_ema():
     trainer = Trainer(model, optimizer_kwargs={"lr": 1e-2}, ema_decay=0.9)
     x, y = next(fake_batches(1))
     p0 = np.asarray(
-        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     ).copy()
     for _ in range(3):
         trainer.training_step(x, y)
     live = np.asarray(
         nnx.state(trainer.model, nnx.Param)["heads"][0]["readout"]["out_conv"][
             "kernel"
-        ].value
+        ][...]
     )
     ema = np.asarray(
-        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     )
     # ema lags the live params but has moved from init
     assert not np.allclose(ema, live)
@@ -192,7 +192,7 @@ def test_ema():
     now = np.asarray(
         nnx.state(trainer.model, nnx.Param)["heads"][0]["readout"]["out_conv"][
             "kernel"
-        ].value
+        ][...]
     )
     np.testing.assert_allclose(now, ema)
 
@@ -319,12 +319,12 @@ def test_ema_in_scanned_path():
     trainer = Trainer(make_model(), optimizer_kwargs={"lr": 1e-2}, ema_decay=0.5)
     x, y = next(fake_batches(1))
     before = np.asarray(
-        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     ).copy()
     xs, ys = jnp.stack([x] * 3), jnp.stack([y] * 3)
     trainer.training_steps_scanned(xs, ys)
     after = np.asarray(
-        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"].value
+        trainer.ema_params["heads"][0]["readout"]["out_conv"]["kernel"][...]
     )
     assert not np.allclose(before, after), "EMA did not update in scan"
 

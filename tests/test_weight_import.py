@@ -156,7 +156,7 @@ def test_resnet18_state_dict_roundtrip():
     load_state_dict(features, "resnet18", sd)
     # kernel is OIHW -> HWIO transposed
     np.testing.assert_allclose(
-        np.asarray(features.stem.conv.kernel.value),
+        np.asarray(features.stem.conv.kernel[...]),
         np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
     )
     after = np.asarray(features(x)[0])

@@ -46,7 +46,9 @@ def main():
     t0 = time.perf_counter()
     reps = 20
     outs = [compiled(state, x) for _ in range(reps)]
-    _ = sum(float(jnp.sum(o[1])) for o in outs)
+    # device execution is serialized in dispatch order, so syncing the
+    # last rep syncs them all — ONE host round-trip instead of 20
+    _ = float(jnp.sum(outs[-1][1]))
     dt = (time.perf_counter() - t0) / reps
 
     out = {
