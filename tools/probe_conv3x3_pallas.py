@@ -56,25 +56,32 @@ def amortized(fn, x, est_iter_s):
 
 
 def _conv_kernel(x_ref, w_ref, y_ref):
-    """x block: (1, ROWS+2, S+2, C) pre-haloed slab; w: (3, 3*C, C);
-    y block: (1, ROWS, S, C)."""
+    """x block: (1, ROWS+2, S+2, C) pre-haloed slab; w: (3, 3, C, C);
+    y block: (1, ROWS, S, C).
+
+    9-tap K=64 accumulation — the only formulation Mosaic lowers on this
+    chip.  Two deeper-contraction (K=192 patch) builds were attempted and
+    REJECTED by the on-chip Mosaic compiler (2026-08-20):
+      * flatten (ROWS, S+2, C) -> (ROWS, (S+2)*C) then lane-slice:
+        "infer-vector-layout: unsupported shape cast" (sublane-into-lane
+        merge);
+      * concat three kx-shifted (ROWS, S, C) slices along the lane axis:
+        unsupported tpu.concatenate with a misaligned {1,64} lane offset
+        (C=64 is half a 128-lane register, so odd-pixel shifts are
+        unaligned by construction).
+    The K=64/N=64 dot caps the MXU at 25% of peak (~48 TF/s), so this
+    variant brackets the question from below: if it lands under XLA's
+    59 TF/s, the XLA kernel remains best-known for this shape.
+    """
     slab = x_ref[0]  # (ROWS+2, S+2, C)
     acc = jnp.zeros((ROWS * S, C), jnp.float32)
     for ky in range(3):
         rows = slab[ky : ky + ROWS]  # (ROWS, S+2, C)
-        flat = rows.reshape(ROWS, (S + 2) * C)
-        # windows: pixel j reads lanes [j*C, (j+3)*C) — three lane-shifted
-        # views concatenated, then reordered to (S, 3C) patches
-        win = jnp.concatenate(
-            [
-                flat[:, 0 : S * C],
-                flat[:, C : (S + 1) * C],
-                flat[:, 2 * C : (S + 2) * C],
-            ],
-            axis=1,
-        ).reshape(ROWS, 3, S, C)
-        patches = win.transpose(0, 2, 1, 3).reshape(ROWS * S, 3 * C)
-        acc += jnp.dot(patches, w_ref[ky], preferred_element_type=jnp.float32)
+        for kx in range(3):
+            tap = rows[:, kx : kx + S, :].reshape(ROWS * S, C)
+            acc += jnp.dot(
+                tap, w_ref[ky, kx], preferred_element_type=jnp.float32
+            )
     y_ref[0] = acc.reshape(ROWS, S, C).astype(y_ref.dtype)
 
 
@@ -84,7 +91,7 @@ def build_pallas(n_tiles):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, ROWS + 2, S + 2, C), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((3, 3 * C, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, 3, C, C), lambda i: (0, 0, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((1, ROWS, S, C), lambda i: (i, 0, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, ROWS, S, C), jnp.bfloat16)],
@@ -114,7 +121,7 @@ def main():
         .reshape(n_tiles, ROWS + 2, S + 2, C)
         .astype(jnp.bfloat16)
     )
-    w_taps = w.reshape(3, 3 * C, C)
+    w_taps = w  # (3, 3, C, C): per-tap (C, C) matrices
     call = build_pallas(n_tiles)
 
     def pallas_rowtap(c):
