@@ -115,6 +115,23 @@ def _is_zero_pad(p) -> bool:
     return p == 0
 
 
+# SIHL_TPU_REMAT_POLICY=conv tags every conv output with
+# jax.ad_checkpoint.checkpoint_name so the trainer can apply a
+# save-only-conv-outputs rematerialization policy (BN/ReLU chains are
+# recomputed in the backward instead of stashed).  The tag is only
+# inserted when the policy is requested — checkpoint_name adds a jaxpr
+# primitive and there is no reason to carry it otherwise.
+_TAG_CONV_OUT = os.environ.get("SIHL_TPU_REMAT_POLICY", "") == "conv"
+
+
+def _maybe_tag(y):
+    if _TAG_CONV_OUT:
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(y, "conv_out")
+    return y
+
+
 class DotBackwardConv(nnx.Conv):
     """``nnx.Conv`` that routes the eligible 1x1 stride-1 case through
     :func:`conv1x1` so the backward runs as stream-rate dots."""
@@ -132,7 +149,7 @@ class DotBackwardConv(nnx.Conv):
             and x.ndim == 4
         )
         if not eligible:
-            return super().__call__(x)
+            return _maybe_tag(super().__call__(x))
         w = self.kernel[...]
         b = self.bias[...] if self.use_bias else None
         if self.dtype is not None:
@@ -141,7 +158,7 @@ class DotBackwardConv(nnx.Conv):
         y = conv1x1(x, w)
         if b is not None:
             y = y + b
-        return y
+        return _maybe_tag(y)
 
 
 def make_dot_backward_conv() -> type:

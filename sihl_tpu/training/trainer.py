@@ -60,12 +60,28 @@ def _call_step(head, method, feats, target, state=None):
     return fn(*lead, feats, *_as_args(target))
 
 
+# SIHL_TPU_REMAT_POLICY=conv: a *scoped* remat of the trunk — save only
+# conv outputs (tagged in ops/conv1x1.py) and recompute the cheap BN/ReLU
+# chains in the backward instead of stashing their residuals.  Unlike the
+# full `remat=True` (which recomputes the convs too), this targets only
+# residual-stash HBM bytes.  A/B lever for the byte-reduction question in
+# the round-4 roofline (the bound moves only by removing bytes).
+_REMAT_POLICY = os.environ.get("SIHL_TPU_REMAT_POLICY", "")
+
+
 def _losses(model: SihlModel, x, targets):
     if getattr(model, "_remat_features", False):
         # rematerialize the trunk in the backward pass: trades FLOPs for
         # activation memory (jax.checkpoint), enabling larger batches
         feats = jax.checkpoint(
             lambda m, xx: m.extract_features(xx), static_argnums=()
+        )(model, x)
+    elif _REMAT_POLICY == "conv":
+        from jax.ad_checkpoint import checkpoint_policies
+
+        feats = jax.checkpoint(
+            lambda m, xx: m.extract_features(xx),
+            policy=checkpoint_policies.save_only_these_names("conv_out"),
         )(model, x)
     else:
         feats = model.extract_features(x)

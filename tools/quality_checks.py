@@ -19,6 +19,7 @@ quadrilaterals text multilabel regression autoencoding  (default all)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -274,7 +275,7 @@ def check_instance_seg(steps=300):
     from sihl_tpu.heads import InstanceSegmentation
     from sihl_tpu.layers import FPN
 
-    B, S, T = 8, 256, 4
+    B, S, T = int(os.environ.get('MT_B', '8')), 256, 4
 
     def make_batch(rng):
         x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
@@ -319,7 +320,7 @@ def check_quadrilaterals(steps=800):
     from sihl_tpu.heads import QuadrilateralDetection
     from sihl_tpu.layers import FPN
 
-    B, S, T = 8, 256, 4
+    B, S, T = int(os.environ.get('MT_B', '8')), 256, 4
 
     def make_batch(rng):
         x = rng.rand(B, S, S, 3).astype(np.float32) * 0.2
@@ -625,7 +626,7 @@ def check_panoptic(steps=300):
     from sihl_tpu.heads.panoptic_segmentation import panoptic_targets_from_maps
     from sihl_tpu.layers import FPN
 
-    B, S, T = 8, 256, 4
+    B, S, T = int(os.environ.get('MT_B', '8')), 256, 4
     STUFF, THINGS = 2, 2
 
     def make_batch(rng):
@@ -675,7 +676,7 @@ def check_panoptic(steps=300):
     return "pq", float(val["head0/valid/pq"])
 
 
-def check_multitask(steps=600):
+def check_multitask(steps=800):
     """BASELINE config-5 composition (mirrors ``examples/multitask.py``):
     detection + text recognition + depth + metric learning on one trunk.
     Each target rides a different image signal so all four learn at once."""
@@ -692,16 +693,28 @@ def check_multitask(steps=600):
     )
     from sihl_tpu.layers import FPN
 
-    B, S, T = 8, 256, 4
+    B, S, T = int(os.environ.get('MT_B', '8')), 256, 4
     NT, L = 3, 2  # text tokens / max length
     I = 4  # identities
-    # strong, well-separated tints: the identity signal must survive next
-    # to the dominant brightness (depth) and square (detection) signals, so
-    # use fixed near-orthogonal RGB directions rather than random draws
-    # (seed-drawn tints can land two identities close together, capping
-    # 1-NN retrieval below the bar regardless of training quality)
+    # ZERO-SUM (pure-chroma) identity tints, orthogonal to the luminance
+    # axis the depth target rides on.  This matters: any tint with a
+    # nonzero channel sum shifts apparent brightness, so the depth loss
+    # (dense, x10-weighted) actively fights the identity signal in the
+    # shared trunk — measured: a gray [0.23]*3 4th tint (colinear with
+    # luminance) froze the ArcFace leg at chance (1-NN 0.25) while a
+    # linear probe could still decode identity from P5 at 0.84, and
+    # switching to these +-u/+-v chroma-plane directions took the same
+    # depth+metric pairing from 1-NN 0.47 to 1.00 (CPU isolation,
+    # 2026-08-20).  Opposite pairs have cosine -1, cross pairs 0.  The
+    # base range [0.25, 0.65] keeps base+tint inside (0.04, 0.86): no
+    # clipping against 0/1 and no collision with the 0.95 white square.
     tints = np.asarray(
-        [[0.5, 0.0, 0.0], [0.0, 0.5, 0.0], [0.0, 0.0, 0.5], [0.45, 0.45, 0.0]],
+        [
+            [0.177, -0.177, 0.0],
+            [-0.177, 0.177, 0.0],
+            [0.102, 0.102, -0.204],
+            [-0.102, -0.102, 0.204],
+        ],
         np.float32,
     )[:I]
     palette = np.asarray(
@@ -710,8 +723,10 @@ def check_multitask(steps=600):
 
     def make_batch(rng):
         ids = rng.randint(0, I, B)
-        # identity tint over a noise floor; depth = brightness of that base
-        base = rng.rand(B, 1, 1, 1).astype(np.float32) * 0.5 + 0.1
+        # identity tint over a gray base; depth = brightness of that base
+        # (recoverable as the channel mean regardless of identity, since
+        # the tints are zero-sum)
+        base = rng.rand(B, 1, 1, 1).astype(np.float32) * 0.4 + 0.25
         x = np.broadcast_to(base, (B, S, S, 3)).copy() + tints[ids][:, None, None, :]
         depth = 0.1 + np.broadcast_to(base[..., 0], (B, S, S)).copy() * 9.9
         classes = np.full((B, T), -1, np.int32)
@@ -729,7 +744,7 @@ def check_multitask(steps=600):
             n = rng.randint(1, L + 1)
             toks = rng.randint(0, NT, n)
             for i, tk in enumerate(toks):
-                x[b, : S // 8, i * (S // L) : i * (S // L) + S // L // 2] = palette[tk]
+                x[b, : S // 6, i * (S // L) : i * (S // L) + S // L // 2] = palette[tk]
             texts.append(list(toks))
         return np.clip(x, 0, 1), [
             {"classes": classes, "boxes": boxes},
@@ -751,9 +766,27 @@ def check_multitask(steps=600):
             embedding_dim=256, rngs=rngs,
         ),
         DepthEstimation(neck.out_channels, 0.1, 10.0, rngs=rngs),
-        MetricLearning(neck.out_channels, I, rngs=rngs),
+        # level 2 = backbone C2, below the FPN laterals: the ArcFace
+        # embedding needs a feature the detection head is not actively
+        # churning.  At the default level 5 the anchor losses' high-
+        # variance gradients keep reshaping P5 every step; the collapsed
+        # initial embeddings then drive the reference ArcFace formulation
+        # into its vanishing-gradient plateau (all class weights anti-
+        # aligned, theta -> pi, loss pinned at ln(I)) — measured 1-NN
+        # 0.25-0.36 across margin/batch/width/lr variations, vs 1.0 at
+        # level 2 (on-chip A/B 2026-08-20; `level` is a reference-exposed
+        # constructor param, metric_learning.py:42).
+        MetricLearning(
+            neck.out_channels, I,
+            level=int(os.environ.get("MT_ML_LEVEL", "2")),
+            rngs=rngs,
+        ),
     ]
-    trainer = _trainer(SihlModel(backbone, neck, heads), steps)
+    trainer = _trainer(
+        SihlModel(backbone, neck, heads),
+        steps,
+        lr=float(os.environ.get("MT_LR", "3e-4")),
+    )
     _run_scanned(trainer, make_batch, steps)
     # flush the scan carry before touching trainer.model (see check_metric_learning)
     trainer.sync_model()
