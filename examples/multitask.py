@@ -25,7 +25,13 @@ def model_fn(backbone, rngs):
         ObjectDetection(neck.out_channels, NUM_CLASSES, max_targets=MAX_TARGETS, rngs=rngs),
         TextRecognition(neck.out_channels, NUM_TOKENS, MAX_LEN, level=3, rngs=rngs),
         DepthEstimation(neck.out_channels, 0.1, 10.0, rngs=rngs),
-        MetricLearning(neck.out_channels, NUM_IDENTITIES, rngs=rngs),
+        # level 2 (backbone C2, below the FPN laterals): when trained from
+        # scratch next to a detection head, an embedding read from P5 gets
+        # held in ArcFace's vanishing-gradient plateau by the anchor
+        # losses' high-variance gradients (see RESULTS.md, multitask) —
+        # C2 gives the metric head a feature map detection is not
+        # actively churning
+        MetricLearning(neck.out_channels, NUM_IDENTITIES, level=2, rngs=rngs),
     ]
     return SihlModel(backbone, neck, heads), {}
 

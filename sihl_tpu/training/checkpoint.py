@@ -19,6 +19,11 @@ def save_checkpoint(trainer, path: str) -> None:
 
 def restore_checkpoint(trainer, path: str) -> None:
     path = os.path.abspath(path)
+    item = trainer.state_dict()
+    # take shardings from the live train state so orbax does not fall
+    # back to reading the sharding file (slower, and unsafe across
+    # topology changes)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(item)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=trainer.state_dict())
+        restored = ckptr.restore(path, item=item, restore_args=restore_args)
     trainer.load_state_dict(restored)

@@ -625,27 +625,27 @@ class Trainer:
     def state_dict(self):
         self._sync_model()
         out = {
-            "model": nnx.state(self.model).to_pure_dict(),
-            "opt": nnx.state(self.optimizer).to_pure_dict(),
+            "model": nnx.to_pure_dict(nnx.state(self.model)),
+            "opt": nnx.to_pure_dict(nnx.state(self.optimizer)),
             "step": self.step,
         }
         if self.ema_params is not None:
             # the EMA shadow is train state too: losing it on resume would
             # restart the average from the live params
-            out["ema"] = self.ema_params.to_pure_dict()
+            out["ema"] = nnx.to_pure_dict(self.ema_params)
         return out
 
     def load_state_dict(self, state) -> None:
         self._sync_model()
         self._scan_runner = None  # loaded state may change array dtypes/shapes
         model_state = nnx.state(self.model)
-        model_state.replace_by_pure_dict(state["model"])
+        nnx.replace_by_pure_dict(model_state, state["model"])
         nnx.update(self.model, model_state)
         opt_state = nnx.state(self.optimizer)
-        opt_state.replace_by_pure_dict(state["opt"])
+        nnx.replace_by_pure_dict(opt_state, state["opt"])
         nnx.update(self.optimizer, opt_state)
         if self.ema_params is not None and "ema" in state:
             ema = jax.tree_util.tree_map(jnp.copy, nnx.state(self.model, nnx.Param))
-            ema.replace_by_pure_dict(state["ema"])
+            nnx.replace_by_pure_dict(ema, state["ema"])
             self.ema_params = ema
         self.step = int(state["step"])
