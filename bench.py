@@ -19,6 +19,12 @@ it sleeps ``SIHL_BENCH_CANARY_SLEEP`` (default 90 s) and retries up to
 ``SIHL_BENCH_CANARY_ATTEMPTS`` (default 3) times.  The emitted JSON
 carries the final canary reading, the retry count, and a ``degraded``
 flag so a bad record is self-describing instead of silently wrong.
+
+NB when A/B-ing opt-in variants: the canary times THIS program, so a
+genuinely slower variant (e.g. ``SIHL_TPU_REMAT_POLICY=conv`` measured
+-15%) trips the gate without any tunnel fault — confirm with a
+default-program run on the same tunnel before attributing a low reading
+to degradation, or lower ``SIHL_BENCH_CANARY_MIN`` for the variant leg.
 """
 
 import json

@@ -14,7 +14,9 @@ from sihl_tpu import Backbone, SihlModel
 from sihl_tpu.heads import ObjectDetection
 from sihl_tpu.layers import FPN
 
-BATCH, SIZE = 16, 640
+import os
+BATCH = int(os.environ.get("SIHL_INF_BATCH", "16"))
+SIZE = int(os.environ.get("SIHL_INF_SIZE", "640"))
 
 
 def main():
