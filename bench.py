@@ -115,8 +115,22 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         return BATCH * MEASURE_STEPS / dt
 
-    # canary gate: don't accept a measurement through a degraded tunnel
-    canary_min = float(os.environ.get("SIHL_BENCH_CANARY_MIN", "230"))
+    # canary gate: don't accept a measurement through a degraded tunnel.
+    # The default threshold is calibrated for the DEFAULT workload; if
+    # batch/steps were overridden and no explicit threshold was given,
+    # disable the gate rather than flag a legitimately different
+    # throughput as degradation.
+    default_workload = BATCH == 16 and MEASURE_STEPS == 40
+    canary_env = os.environ.get("SIHL_BENCH_CANARY_MIN")
+    if canary_env is None and not default_workload:
+        print(
+            "canary gate disabled: non-default batch/steps without an "
+            "explicit SIHL_BENCH_CANARY_MIN",
+            file=sys.stderr,
+        )
+    canary_min = float(
+        canary_env if canary_env is not None else ("230" if default_workload else "0")
+    )
     canary_sleep = float(os.environ.get("SIHL_BENCH_CANARY_SLEEP", "90"))
     canary_attempts = int(os.environ.get("SIHL_BENCH_CANARY_ATTEMPTS", "3"))
     canary = timed_ips(1)

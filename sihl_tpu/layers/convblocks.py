@@ -24,6 +24,11 @@ from flax import nnx
 
 from sihl_tpu.policy import compute_dtype, param_dtype
 
+# `relu` is stock jax.nn.relu unless SIHL_TPU_RELU_OUTMASK=1 was set at
+# import time, in which case it is the output-mask custom-VJP variant
+# (see ops/relu.py; A/B'd as a wash on the flagship, ships opt-in OFF)
+from sihl_tpu.ops.relu import relu
+
 
 def _rngs(rngs: Optional[nnx.Rngs]) -> nnx.Rngs:
     return rngs if rngs is not None else nnx.Rngs(0)
@@ -123,10 +128,8 @@ def make_norm(kind: Optional[str], num_features: int, groupnorm_groups: int, rng
     raise ValueError(f"unknown norm {kind!r}")
 
 
-from sihl_tpu.ops.relu import relu as _relu_outmask
-
 _ACTS = {
-    "relu": _relu_outmask,
+    "relu": relu,
     "silu": nnx.silu,
     "gelu": nnx.gelu,
     "sigmoid": nnx.sigmoid,

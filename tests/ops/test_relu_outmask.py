@@ -43,7 +43,13 @@ def test_bf16_and_vmap():
 
 
 def test_chain_grad_parity_through_bn():
-    """conv-BN-relu chain: grads through the swapped relu match stock."""
+    """conv-BN-relu chain: grads through relu_outmask match stock.
+
+    Builds both legs explicitly (relu_outmask vs jax.nn.relu on the same
+    conv+BN prefix) — the _ACTS['relu'] lookup resolves to stock relu
+    unless the env gate was set at import time, so relying on the block's
+    own activation would compare the stock path against itself.
+    """
     from flax import nnx
 
     import sihl_tpu
@@ -57,7 +63,8 @@ def test_chain_grad_parity_through_bn():
     def loss_custom(state, x):
         m = nnx.merge(graphdef, state)
         m.train()
-        return (m(x) ** 2).sum()
+        y = m.norm(m.conv(x))
+        return (relu_outmask(y) ** 2).sum()
 
     def loss_stock(state, x):
         m = nnx.merge(graphdef, state)

@@ -34,16 +34,23 @@ def _one_step_loss():
 
 
 def test_conv_policy_matches_default():
+    import jax
+
     base = _one_step_loss()
     old_policy = trainer_mod._REMAT_POLICY
     old_tag = conv1x1_mod._TAG_CONV_OUT
     try:
         trainer_mod._REMAT_POLICY = "conv"
         conv1x1_mod._TAG_CONV_OUT = True
+        # the flags are read at TRACE time; without clearing the jit
+        # cache the second leg would re-run the stock executable (the
+        # graphdef/avals are identical) and never trace the policy
+        jax.clear_caches()
         remat = _one_step_loss()
     finally:
         trainer_mod._REMAT_POLICY = old_policy
         conv1x1_mod._TAG_CONV_OUT = old_tag
+        jax.clear_caches()
     # step 0 is identical math; step 1 exercises grads applied through the
     # policy'd backward — both must match the stock path to float precision
     np.testing.assert_allclose(base[0], remat[0], rtol=1e-6)

@@ -4,14 +4,15 @@ The op is NOT memory-bound (353 GB/s observed, ~104 MB of traffic) and the
 MXU bound for an N=64 output is ~50% of peak = ~98 TF/s — so up to 1.6x
 may sit between XLA's kernel and the hardware.
 
-Strategy: row-tap patch matmuls.  For each output row, the 3x3 conv is
-three K=192 matmuls — patches[(W, 3*64)] built from three lane-shifted
-slices of a contiguous (W+2)*64 input row (C is minor, so 3 consecutive
-pixels are 192 contiguous lanes).  K=192 fills the MXU's contraction
-depth; N=64 caps at 50% of peak.  The patch build costs one (3,S,C) ->
-(S,3,C) in-VMEM transpose per row-tap — the probe measures whether that
-shuffle defeats the matmul-shape win (the round-2 stem kernel died on
-exactly this kind of gather).
+Outcome (2026-08-20, on chip): the two K=192 deep-contraction patch
+builds this probe originally targeted are BOTH unlowerable by the
+on-chip Mosaic compiler (details in the kernel docstring), so the
+shipped kernel is the 9-tap K=64 accumulation — the only formulation
+that compiles — which brackets the question from below (K=64/N=64 caps
+the MXU at ~25% of peak).  Measured: XLA conv 0.420 ms / 71.9 TF/s vs
+Pallas 9-tap 1.094 ms / 27.6 TF/s — the XLA kernel remains best-known
+for this shape, and a deeper-contraction Pallas kernel is not
+expressible for C=64.
 
 The probe feeds pre-haloed tiles (BlockSpec blocks cannot overlap), so it
 measures the compute path; a production kernel would DMA halos.
