@@ -7,7 +7,10 @@ Because every head's ``__call__`` is fully shape-static (fixed
 ``SihlModel.__call__`` serializes to one portable StableHLO artifact that
 any PJRT runtime (TPU, GPU, CPU) can load and run — the ONNX-parity
 guarantee of the reference becomes a jit/StableHLO round-trip guarantee
-here (see ``tests/test_export.py``).
+here (see ``tests/test_export.py``), and a true two-runtime parity check
+runs the SAME artifact on the TPU PJRT plugin and the builtin CPU PJRT
+(``tools/check_export_cross_runtime.py``: counts identical, scores to
+2.6e-4, boxes to 0.08 px, measured 2026-08-20).
 """
 
 from typing import Optional, Sequence, Tuple
